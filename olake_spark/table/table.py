@@ -1,0 +1,324 @@
+"""Table: create/load, snapshot-isolated scans, atomic commits.
+
+The commit protocol is optimistic concurrency over metadata versions
+(format.try_write_metadata): losers refresh, validate, and retry with
+backoff — the Spark-native analog of the reference's Iceberg
+RowDelta/AppendFiles commits (IcebergTableOperator.java:116-169) and
+its retry policy (drivers/abstract/utils.go:11-32, 3 attempts).
+
+Data writes go through ``write_datafiles``: one distributed Spark
+write into an immutable per-commit directory, optional fanout column
+(partitionBy on a synthetic grouping key — each group lands in exactly
+one file because we repartition on the key first), then a footer-only
+stats harvest builds manifest entries. Target file size honors the
+``write.target-file-size-bytes`` property (reference default 512 MiB,
+arrow-writer/utils.go:22).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olake_spark.table import format as fmt
+from olake_spark.table import stats as stats_mod
+from olake_spark.table.format import DataFileEntry, Snapshot, TableMetadata
+
+TARGET_FILE_SIZE_PROP = "write.target-file-size-bytes"
+STATS_COLS_PROP = "stats.columns"
+DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
+
+COMMIT_RETRIES = 3
+COMMIT_BACKOFF_S = 0.2
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class Table:
+    def __init__(self, spark: SparkSession, meta: TableMetadata):
+        self.spark = spark
+        self.meta = meta
+
+    # ------------------------------------------------------------ lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        name: str,
+        schema: T.StructType | str,
+        identifier_fields: list[str] | None = None,
+        partition_spec: list[dict] | None = None,
+        properties: dict | None = None,
+    ) -> "Table":
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        os.makedirs(fmt.metadata_dir(location), exist_ok=True)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        props = {TARGET_FILE_SIZE_PROP: str(DEFAULT_TARGET_FILE_SIZE)}
+        props.update(properties or {})
+        meta = TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            name=name,
+            location=location,
+            schema_json=schema.json(),
+            identifier_fields=identifier_fields or [],
+            partition_spec=partition_spec or [],
+            properties=props,
+            current_snapshot_id=None,
+            snapshots=[],
+            last_sequence_number=0,
+            version=1,
+        )
+        if not fmt.try_write_metadata(location, meta):
+            raise CommitConflict(f"table already exists at {location}")
+        return Table(spark, meta)
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "Table":
+        v = fmt.read_version_hint(location)
+        with open(fmt.metadata_path(location, v)) as f:
+            meta = TableMetadata.from_json(f.read())
+        meta.version = v
+        return Table(spark, meta)
+
+    def refresh(self) -> "Table":
+        self.meta = Table.load(self.spark, self.meta.location).meta
+        return self
+
+    # ------------------------------------------------------------ accessors
+
+    @property
+    def location(self) -> str:
+        return self.meta.location
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.meta.schema_json))
+
+    @property
+    def target_file_size(self) -> int:
+        return int(self.meta.properties.get(TARGET_FILE_SIZE_PROP, DEFAULT_TARGET_FILE_SIZE))
+
+    @property
+    def stats_cols(self) -> list[str]:
+        raw = self.meta.properties.get(STATS_COLS_PROP)
+        if raw:
+            return json.loads(raw) if raw.startswith("[") else raw.split(",")
+        return stats_mod.DEFAULT_STATS_COLS
+
+    def entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
+        snap = self.meta.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        return fmt.read_manifests(self.location, snap.manifests)
+
+    def live_paths(self, snapshot_id: int | None = None) -> set[str]:
+        return {e.path for e in self.entries(snapshot_id)}
+
+    # ------------------------------------------------------------ scans
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        entries: list[DataFileEntry] | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read: resolve the file list at plan time.
+
+        Filters/projections applied by the caller on the returned
+        DataFrame still push down to the parquet scans (Catalyst sees a
+        plain multi-file parquet relation).
+        """
+        if entries is None:
+            entries = self.entries(snapshot_id)
+        paths = [os.path.join(self.location, e.path) for e in entries]
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def pruned_entries(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> list[DataFileEntry]:
+        """Manifest min/max pruning: files whose [lower, upper] range for
+        ``col`` overlaps [lo, hi] (reference parity: chunk-range
+        predicates pkg/jdbc/jdbc.go:212-227)."""
+        out = []
+        for e in self.entries(snapshot_id):
+            elo = e.lower_bounds.get(col)
+            ehi = e.upper_bounds.get(col)
+            if elo is None or ehi is None:
+                out.append(e)  # no stats → cannot prune
+                continue
+            if (hi is not None and elo > hi) or (lo is not None and ehi < lo):
+                continue
+            out.append(e)
+        return out
+
+    # ------------------------------------------------------------ writes
+
+    def write_datafiles(
+        self,
+        df: DataFrame,
+        fanout_col: str | None = None,
+        num_groups: int | None = None,
+        sort_within: list[str] | None = None,
+        record_partition_from_dir: bool = False,
+    ) -> list[DataFileEntry]:
+        """Distributed write into data/<uuid>/; returns manifest entries.
+
+        fanout_col: synthetic grouping column — rows are repartitioned
+        on it and written with partitionBy so each group is exactly one
+        output file (the column itself is stripped by partitionBy; real
+        table columns all remain in the data files, Iceberg-style).
+        """
+        commit_dir = uuid.uuid4().hex
+        out_dir = os.path.join(self.location, "data", commit_dir)
+        writer = df
+        if fanout_col is not None:
+            n = num_groups or self.spark.sparkContext.defaultParallelism
+            writer = df.repartition(n, F.col(fanout_col))
+            if sort_within:
+                writer = writer.sortWithinPartitions(fanout_col, *sort_within)
+            writer.write.partitionBy(fanout_col).parquet(out_dir)
+        else:
+            if sort_within:
+                writer = writer.sortWithinPartitions(*sort_within)
+            writer.write.parquet(out_dir)
+        files: list[tuple[str, str]] = []
+        for p in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+            partition = ""
+            if record_partition_from_dir:
+                d = os.path.relpath(os.path.dirname(p), out_dir)
+                partition = "" if d == "." else d
+            files.append((p, partition))
+        return stats_mod.harvest(self.location, files, self.stats_cols)
+
+    # ------------------------------------------------------------ commits
+
+    def _next_snapshot(self, operation: str, manifests: list[str], summary: dict) -> Snapshot:
+        seq = self.meta.last_sequence_number + 1
+        return Snapshot(
+            snapshot_id=seq,
+            parent_id=self.meta.current_snapshot_id,
+            sequence_number=seq,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifests=manifests,
+            summary=summary,
+        )
+
+    def _commit(self, build_snapshot, validate=None) -> Snapshot:
+        """Optimistic commit loop: build against current meta, attempt
+        version write, on loss refresh + re-validate + rebuild."""
+        last_err: Exception | None = None
+        for attempt in range(COMMIT_RETRIES + 1):
+            if validate is not None:
+                validate(self)
+            snap = build_snapshot(self)
+            new_meta = TableMetadata(
+                table_uuid=self.meta.table_uuid,
+                name=self.meta.name,
+                location=self.meta.location,
+                schema_json=self.meta.schema_json,
+                identifier_fields=self.meta.identifier_fields,
+                partition_spec=self.meta.partition_spec,
+                properties=self.meta.properties,
+                current_snapshot_id=snap.snapshot_id,
+                snapshots=self.meta.snapshots + [snap],
+                last_sequence_number=snap.sequence_number,
+                version=self.meta.version + 1,
+            )
+            if fmt.try_write_metadata(self.location, new_meta):
+                self.meta = new_meta
+                return snap
+            last_err = CommitConflict(f"lost version {new_meta.version}")
+            time.sleep(COMMIT_BACKOFF_S * (2**attempt))
+            self.refresh()
+        raise last_err  # type: ignore[misc]
+
+    def commit_append(self, added: list[DataFileEntry], summary: dict | None = None) -> Snapshot:
+        def build(t: "Table") -> Snapshot:
+            seq = t.meta.last_sequence_number + 1
+            for e in added:
+                e.added_snapshot_id = seq
+            new_manifest = fmt.write_manifest(t.location, added)
+            cur = t.meta.snapshot()
+            manifests = (cur.manifests if cur else []) + [new_manifest]
+            s = {"added-files": len(added), "added-records": sum(e.record_count for e in added)}
+            s.update(summary or {})
+            return t._next_snapshot("append", manifests, s)
+
+        return self._commit(build)
+
+    def commit_replace(
+        self,
+        removed_paths: set[str],
+        added: list[DataFileEntry],
+        operation: str = "replace",
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Atomic swap: removed data files out, new files in.
+
+        Only manifests that contain a removed path are rewritten;
+        untouched manifests are shared with the parent snapshot —
+        commit cost scales with the change, not the table.
+        Validation: every removed path must still be live (a concurrent
+        replace of the same file is a real conflict → error, mirroring
+        the reference's LSN-mismatch full-stop guard,
+        drivers/postgres/internal/cdc.go:75-79).
+        """
+
+        def validate(t: "Table") -> None:
+            live = t.live_paths()
+            missing = removed_paths - live
+            if missing:
+                raise CommitConflict(f"files no longer live: {sorted(missing)[:5]}")
+
+        def build(t: "Table") -> Snapshot:
+            seq = t.meta.last_sequence_number + 1
+            for e in added:
+                e.added_snapshot_id = seq
+            cur = t.meta.snapshot()
+            keep_manifests: list[str] = []
+            survivors: list[DataFileEntry] = []
+            for m in cur.manifests if cur else []:
+                m_entries = fmt.read_manifest(t.location, m)
+                if any(e.path in removed_paths for e in m_entries):
+                    survivors.extend(e for e in m_entries if e.path not in removed_paths)
+                else:
+                    keep_manifests.append(m)
+            manifests = list(keep_manifests)
+            if survivors:
+                manifests.append(fmt.write_manifest(t.location, survivors))
+            if added:
+                manifests.append(fmt.write_manifest(t.location, added))
+            s = {
+                "removed-files": len(removed_paths),
+                "added-files": len(added),
+                "added-records": sum(e.record_count for e in added),
+            }
+            s.update(summary or {})
+            return t._next_snapshot(operation, manifests, s)
+
+        return self._commit(build, validate=validate)
+
+    def commit_rewrite_manifests(self, new_manifests: list[str], summary: dict | None = None) -> Snapshot:
+        """Metadata-only snapshot: same data files, new manifest layout."""
+
+        def build(t: "Table") -> Snapshot:
+            return t._next_snapshot("rewrite-manifests", new_manifests, summary or {})
+
+        return self._commit(build)
