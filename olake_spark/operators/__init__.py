@@ -1,0 +1,5 @@
+from olake_spark.operators.clustering import cluster  # noqa: F401
+from olake_spark.operators.compaction import compact, plan_compaction  # noqa: F401
+from olake_spark.operators.expire import expire_snapshots  # noqa: F401
+from olake_spark.operators.manifests import rewrite_manifests  # noqa: F401
+from olake_spark.operators.merge import dedup_batch, merge_into  # noqa: F401

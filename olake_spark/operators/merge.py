@@ -1,0 +1,170 @@
+"""CDC-style MERGE INTO: sort-merge upsert with copy-on-write file pruning.
+
+Reference semantics reproduced:
+- batch dedup: one winner per ``_olake_id``, latest ``_cdc_timestamp``
+  wins (destination/iceberg/iceberg.go:234-266); ties broken by op
+  priority INSERT < READ < UPDATE < DELETE
+  (IcebergTableOperator.java:70-71), then ingest time — a *total*
+  deterministic order.
+- upsert: the reference writes an equality-delete + data row per key
+  (BaseDeltaTaskWriter.java:49-61) and lets Iceberg readers anti-join;
+  we express the same result as a copy-on-write MERGE — a sort-merge
+  full-outer join on the key (north-rule mandate) where source rows
+  win, ``_op_type='d'`` removes the key, and only *affected* data
+  files are rewritten.
+
+Scale design:
+- file pruning: distinct source keys are range-joined against the
+  manifest's per-file [min,max] key bounds (the manifest is tiny next
+  to the data → broadcast). Untouched files are carried over at zero
+  IO cost by the replace commit.
+- the join is hinted MERGE (sort-merge), both sides shuffled on the
+  key — no driver-side collect of data rows anywhere.
+- output files are range-partitioned + sorted on the key, so bounds
+  stay tight and the *next* merge prunes well (self-sustaining).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olake_spark.plans.lineage import LineageManifest
+from olake_spark.table.table import Table
+
+# op priority for tie-breaks: INSERT < READ < UPDATE < DELETE
+OP_PRIORITY = {"c": 0, "r": 1, "u": 2, "d": 3}
+
+
+def _op_priority_col(col: str = "_op_type"):
+    m = F.create_map(*[F.lit(x) for kv in OP_PRIORITY.items() for x in kv])
+    return F.coalesce(m[F.col(col)], F.lit(-1))
+
+
+def dedup_batch(source: DataFrame, key: str = "_olake_id") -> DataFrame:
+    """One row per key: max (_cdc_timestamp, op_priority, _olake_timestamp).
+
+    Window + row_number — Spark's map-side partial aggregation plus a
+    single shuffle on the key; the same shuffle partitioning is then
+    reused by the merge join (sort-merge on the same key), so dedup
+    costs no extra exchange in the merged plan.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.desc("_cdc_timestamp"),
+        _op_priority_col().desc(),
+        F.desc("_olake_timestamp"),
+    )
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[str]:
+    """Manifest-bounds pruning: files whose [min,max] range for ``key``
+    contains any source key. Entries without bounds are always affected."""
+    entries = table.entries()
+    rows, unbounded = [], []
+    for e in entries:
+        lo, hi = e.lower_bounds.get(key), e.upper_bounds.get(key)
+        if lo is None or hi is None:
+            unbounded.append(e.path)
+        else:
+            rows.append((e.path, str(lo), str(hi)))
+    affected = set(unbounded)
+    if rows:
+        bounds = table.spark.createDataFrame(rows, "path string, lo string, hi string")
+        hit = (
+            source_keys.select(F.col(key).cast("string").alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(bounds),
+                (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                "inner",
+            )
+            .select("path")
+            .distinct()
+        )
+        affected.update(r["path"] for r in hit.collect())
+    return sorted(affected)
+
+
+def merge_into(
+    table: Table,
+    source: DataFrame,
+    key: str = "_olake_id",
+    target_file_size: int | None = None,
+    lineage: LineageManifest | None = None,
+    stage: str = "merge",
+) -> dict:
+    """Apply a CDC batch to the table; returns metrics.
+
+    Idempotent: replaying the same batch after a completed commit is a
+    no-op when driven through the same lineage manifest (the committed
+    snapshot id is recorded before the replace, LSN-guard style).
+    """
+    if lineage is not None and lineage.stage_complete(stage):
+        return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
+
+    target_file_size = target_file_size or table.target_file_size
+    src = dedup_batch(source, key)
+
+    affected = affected_file_paths(table, src.select(key), key)
+    entry_by_path = {e.path: e for e in table.entries()}
+    aff_entries = [entry_by_path[p] for p in affected]
+    target_sub = table.scan(entries=aff_entries)
+
+    t, s = target_sub.alias("t"), src.alias("s")
+    cond = F.col(f"t.{key}") == F.col(f"s.{key}")
+    joined = t.join(s.hint("merge"), cond, "full_outer")  # sort-merge mandated
+
+    src_present = F.col(f"s.{key}").isNotNull()
+    cols = [
+        F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target_sub.columns
+    ]
+    merged = joined.filter(
+        F.coalesce(F.col("s._op_type"), F.lit("")) != F.lit("d")
+    ).select(*cols)
+
+    # size the output: surviving target bytes + source contribution
+    aff_bytes = sum(e.file_size_bytes for e in aff_entries)
+    aff_rows = sum(e.record_count for e in aff_entries) or 1
+    src_rows = src.count()
+    est_bytes = aff_bytes + int(src_rows * (aff_bytes / aff_rows)) if aff_bytes else max(src_rows, 1) * 4096
+    n_files = max(1, math.ceil(est_bytes / target_file_size))
+
+    new_entries = table.write_datafiles(
+        merged, range_partition_cols=[key], num_groups=n_files
+    )
+    snap = table.commit_replace(
+        set(affected),
+        new_entries,
+        operation="merge",
+        summary={"source-rows": src_rows, "pruned-files": len(entry_by_path) - len(affected)},
+    )
+    metrics = {
+        "snapshot_id": snap.snapshot_id,
+        "source_rows": src_rows,
+        "affected_files": len(affected),
+        "pruned_files": len(entry_by_path) - len(affected),
+        "written_files": len(new_entries),
+        "written_rows": sum(e.record_count for e in new_entries),
+        "written_bytes": sum(e.file_size_bytes for e in new_entries),
+    }
+    if lineage is not None:
+        lineage.plan(stage, {"merge": {"affected": len(affected)}})
+        lineage.mark_done(
+            stage,
+            "merge",
+            files=metrics["written_files"],
+            rows=metrics["written_rows"],
+            bytes_=metrics["written_bytes"],
+            snapshot_id=snap.snapshot_id,
+        )
+        lineage.set_stage_snapshot(stage, snap.snapshot_id)
+    return metrics

@@ -176,6 +176,7 @@ class Table:
         num_groups: int | None = None,
         sort_within: list[str] | None = None,
         record_partition_from_dir: bool = False,
+        range_partition_cols: list[str] | None = None,
     ) -> list[DataFileEntry]:
         """Distributed write into data/<uuid>/; returns manifest entries.
 
@@ -183,6 +184,11 @@ class Table:
         on it and written with partitionBy so each group is exactly one
         output file (the column itself is stripped by partitionBy; real
         table columns all remain in the data files, Iceberg-style).
+
+        range_partition_cols: range-partition + sort by these columns
+        instead — each output file covers a tight key range, so the
+        min/max manifest stats stay selective for future MERGE/scan
+        pruning (one file ≈ one Iceberg sort-order cluster).
         """
         commit_dir = uuid.uuid4().hex
         out_dir = os.path.join(self.location, "data", commit_dir)
@@ -193,6 +199,11 @@ class Table:
             if sort_within:
                 writer = writer.sortWithinPartitions(fanout_col, *sort_within)
             writer.write.partitionBy(fanout_col).parquet(out_dir)
+        elif range_partition_cols:
+            n = num_groups or self.spark.sparkContext.defaultParallelism
+            cols = [F.col(c) for c in range_partition_cols]
+            writer = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+            writer.write.parquet(out_dir)
         else:
             if sort_within:
                 writer = writer.sortWithinPartitions(*sort_within)
