@@ -1,0 +1,880 @@
+"""Driver-contract query registry: Spark impl + DuckDB oracle per operator.
+
+Each entry re-expresses one operator from SURVEY.md §2 (or a
+training-data-pipeline op) over the driver's TPC-H-ish parquet tables.
+The Spark side is idiomatic DataFrame API; the oracle is the same
+semantics in ANSI-ish SQL for DuckDB. Column names and value rounding
+are aligned on both sides so the driver's order-insensitive value-hash
+matches.
+
+Determinism rules used throughout:
+- timestamps only ever surface as DATE strings, calendar fields, or
+  epoch-day ints (the testdata is timestamp_ntz → tz-proof on both
+  engines);
+- double aggregates are rounded (sums to 2dp, ratios to 4-6dp);
+- every window/top-k has a total order (explicit tie-break columns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olake_spark.functions.hashing import bucket_int_udf
+from olake_spark.functions.transforms import (
+    day_transform,
+    hour_transform,
+    month_transform,
+    partition_path,
+    truncate_int,
+    year_transform,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.1 sources / chunked scans
+# =====================================================================
+
+
+@_register(
+    "chunked_scan",
+    """
+    SELECT CAST(floor(o_orderkey / 2000) AS BIGINT) AS chunk_id,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def chunked_scan(spark, sf_dir):
+    """S1/S2/S10: fixed-stride chunk split of a keyed scan — per-chunk
+    bounds and totals (drivers/postgres/internal/backfill.go:147-216)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_orderkey") / 2000).cast("bigint").alias("chunk_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@_register(
+    "filter_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    """,
+)
+def filter_pushdown(spark, sf_dir):
+    """F1/F2/F6: range + equality predicates, pushed to the parquet scan
+    (pkg/jdbc/jdbc.go:564-637). `.explain` shows PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@_register(
+    "incremental_cursor",
+    """
+    SELECT event_type, count(*) AS n, max(event_id) AS max_event_id
+    FROM events WHERE ts > TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def incremental_cursor(spark, sf_dir):
+    """F4: cursor > last-synced-value incremental read
+    (pkg/jdbc/jdbc.go:648-697)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") > "2024-01-03 00:00:00").groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("max_event_id")
+    )
+
+
+@_register(
+    "threshold_backfill",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE value IS NULL OR value <= (SELECT round(max(value) / 2, 2) FROM events)
+    GROUP BY event_type
+    """,
+)
+def threshold_backfill(spark, sf_dir):
+    """F5: backfill capped at a pre-fetched max with NULL fallback
+    (pkg/jdbc/jdbc.go:738-772)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.round(F.max("value") / 2, 2).alias("m")).first()["m"]
+    return ev.filter(F.col("value").isNull() | (F.col("value") <= F.lit(mx))).groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# §2.3 projection / metadata columns
+# =====================================================================
+
+
+@_register(
+    "pk_hash",
+    """
+    SELECT o_orderkey,
+           md5(concat_ws('|', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR))) AS olake_id
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+)
+def pk_hash(spark, sf_dir):
+    """P3/C5: _olake_id = md5 of '|'-joined sorted-name PK values
+    (utils/utils.go:252-273)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"), F.col("o_orderkey").cast("string")
+            )
+        ).alias("olake_id"),
+    )
+
+
+@_register(
+    "metadata_attach",
+    """
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR)) AS _olake_id,
+           'r' AS _op_type,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS cdc_day
+    FROM orders WHERE o_orderkey % 53 = 0
+    """,
+)
+def metadata_attach(spark, sf_dir):
+    """P3: attach OLake metadata columns to every row
+    (destination/iceberg/iceberg.go:322-328)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 53 == 0).select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("_olake_id"),
+        F.lit("r").alias("_op_type"),
+        F.col("o_orderdate").cast("date").cast("string").alias("cdc_day"),
+    )
+
+
+@_register(
+    "json_flatten",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def json_flatten(spark, sf_dir):
+    """P4/C11: nested objects surfaced from JSON strings
+    (utils/typeutils/flatten.go:28-74)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 101 == 0).select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# =====================================================================
+# §2.4 joins — the MERGE upsert shape
+# =====================================================================
+
+_MERGE_SQL = """
+    WITH source AS (
+        SELECT o_orderkey AS key, round(o_totalprice * 1.1, 2) AS new_price, 'u' AS op
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd'
+        FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(t.o_orderkey, s.key) AS key,
+           CASE WHEN s.op = 'u' THEN s.new_price ELSE t.o_totalprice END AS final_price,
+           coalesce(s.op, 'r') AS op
+    FROM orders t FULL OUTER JOIN source s ON t.o_orderkey = s.key
+    WHERE s.op IS NULL OR s.op <> 'd'
+"""
+
+
+@_register("merge_upsert", _MERGE_SQL)
+def merge_upsert(spark, sf_dir):
+    """J1: equality-delete upsert as a sort-merge full-outer join —
+    source wins, op 'd' removes the key
+    (BaseDeltaTaskWriter.java:49-61; north-rule sort-merge mandate)."""
+    o = _t(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+        F.lit("u").alias("op"),
+    )
+    dels = o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit("d").alias("op"),
+    )
+    src = upd.unionAll(dels).alias("s")
+    t = o.alias("t")
+    joined = t.join(src.hint("merge"), F.col("t.o_orderkey") == F.col("s.key"), "full_outer")
+    return joined.filter(
+        F.col("s.op").isNull() | (F.col("s.op") != "d")
+    ).select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("s.key")).alias("key"),
+        F.when(F.col("s.op") == "u", F.col("s.new_price"))
+        .otherwise(F.col("t.o_totalprice"))
+        .alias("final_price"),
+        F.coalesce(F.col("s.op"), F.lit("r")).alias("op"),
+    )
+
+
+@_register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def set_except(spark, sf_dir):
+    """§2.8: stream-set difference (types/catalog.go:180-274) —
+    customers with no large orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return c.subtract(o)
+
+
+# =====================================================================
+# §2.5 / 2.6 aggregation & window
+# =====================================================================
+
+
+@_register(
+    "dedup_latest",
+    """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest(spark, sf_dir):
+    """A1: per-key argmax dedup — latest cursor wins, total order via
+    event_id tie-break (destination/iceberg/iceberg.go:234-266)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@_register(
+    "minmax_bounds",
+    """
+    SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+           count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys
+    FROM lineitem
+    """,
+)
+def minmax_bounds(spark, sf_dir):
+    """A2/A3: split-key bounds + cardinality (pkg/jdbc/jdbc.go:63-70)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+    )
+
+
+@_register(
+    "max_cursor",
+    """
+    SELECT max(event_id) AS max_cursor, max(user_id) AS max_cursor2, count(*) AS n
+    FROM events
+    """,
+)
+def max_cursor(spark, sf_dir):
+    """A4: pre-incremental MAX(cursor) (+ secondary cursor,
+    pkg/jdbc/jdbc.go:699-734)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_cursor"),
+        F.max("user_id").alias("max_cursor2"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "windowed_agg",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_agg(spark, sf_dir):
+    """§2.10 analog: tumbling time-window aggregation (bounded
+    micro-batch accounting; Structured Streaming shape in batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+# =====================================================================
+# §2.7 sorts / top-k
+# =====================================================================
+
+
+@_register(
+    "topk_boundary",
+    "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 1000",
+)
+def topk_boundary(spark, sf_dir):
+    """O4: LIMIT/OFFSET boundary probe = k-th order statistic
+    (pkg/jdbc/jdbc.go:90-119)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").offset(1000).limit(100).select("o_orderkey")
+
+
+# =====================================================================
+# §2.9 partition transforms
+# =====================================================================
+
+
+@_register("bucket_transform", None)  # murmur3 — no DuckDB equivalent; pytest
+def bucket_transform(spark, sf_dir):  # verifies against Iceberg spec vectors
+    """C6: Iceberg bucket(16) via bit-exact murmur3
+    (arrow-writer/transforms.go:51-128). Rows-only driver check."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", bucket_int_udf(16)(F.col("o_orderkey")).alias("bucket")
+    )
+
+
+@_register(
+    "truncate_transform",
+    """
+    SELECT o_custkey - (((o_custkey % 100) + 100) % 100) AS cust_bin, count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def truncate_transform(spark, sf_dir):
+    """C7: negative-safe integer truncate (transforms.go:130-147)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(truncate_int("o_custkey", 100).alias("cust_bin")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@_register(
+    "time_transforms",
+    """
+    SELECT CAST(year(o_orderdate) - 1970 AS INTEGER) AS year_t,
+           CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS INTEGER) AS month_t,
+           CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_t,
+           CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 24
+                + hour(o_orderdate) AS INTEGER) AS hour_t,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2, 3, 4
+    """,
+)
+def time_transforms(spark, sf_dir):
+    """C8: Iceberg year/month/day/hour offsets from epoch
+    (transforms.go:74-94)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        year_transform("o_orderdate").alias("year_t"),
+        month_transform("o_orderdate").alias("month_t"),
+        day_transform("o_orderdate").alias("day_t"),
+        hour_transform("o_orderdate").alias("hour_t"),
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "partition_path",
+    """
+    SELECT concat('status=', o_orderstatus, '/', 'priority=', o_orderpriority) AS path,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def partition_path_encode(spark, sf_dir):
+    """C10: field=value partition path encoding (transforms.go:171-189)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        partition_path(status="o_orderstatus", priority="o_orderpriority").alias("path")
+    ).agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# training-data ops: dedup family (documents)
+# =====================================================================
+
+
+@_register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    """Exact dedup: content-hash groupBy, keep lowest doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+_MINHASH_K = 4
+_SHINGLE = 8
+
+
+def _minhash_spark_expr(j: int) -> str:
+    return (
+        f"array_min(transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)), "
+        f"i -> md5(concat('{j}|', substring(text, i, {_SHINGLE}))))) AS sig{j}"
+    )
+
+
+def _minhash_duck_expr(j: int) -> str:
+    return (
+        f"list_aggregate([md5('{j}|' || substr(text, CAST(i AS INTEGER), {_SHINGLE})) "
+        f"for i in range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1)], 'min') AS sig{j}"
+    )
+
+
+_MINHASH_SQL = "SELECT doc_id, " + ", ".join(
+    _minhash_duck_expr(j) for j in range(_MINHASH_K)
+) + " FROM documents"
+
+
+@_register("minhash_signatures", _MINHASH_SQL)
+def minhash_signatures(spark, sf_dir):
+    """MinHash: k=4 signatures over 8-char shingles (md5-salted hash
+    family) — all computed inside Catalyst `transform`, no explode."""
+    d = _t(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id", *[_minhash_spark_expr(j) for j in range(_MINHASH_K)]
+    )
+
+
+_LSH_SQL = f"""
+    WITH sigs AS ({_MINHASH_SQL})
+    SELECT doc_id, md5(sig0 || sig1) AS band0, md5(sig2 || sig3) AS band1
+    FROM sigs
+"""
+
+
+@_register("lsh_bands", _LSH_SQL)
+def lsh_bands(spark, sf_dir):
+    """MinHash-LSH: 2 bands × 2 rows — docs sharing a band hash are
+    near-dup candidates (the bucket-join is the next op)."""
+    sigs = minhash_signatures(spark, sf_dir)
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat("sig0", "sig1")).alias("band0"),
+        F.md5(F.concat("sig2", "sig3")).alias("band1"),
+    )
+
+
+_JACCARD_SQL = """
+    WITH grams AS (
+        SELECT doc_id, source, n_chars,
+               list_distinct([substr(text, CAST(i AS INTEGER), 12)
+                              for i in range(1, greatest(length(text) - 11, 1) + 1, 7)]) AS g
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / length(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 10
+"""
+
+
+@_register("ngram_jaccard", _JACCARD_SQL)
+def ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: strided 12-char shingles, exact set
+    overlap for same-source candidate pairs (blocking keeps it
+    O(pairs-in-block), not O(n²))."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        "array_distinct(transform(sequence(1, greatest(length(text) - 11, 1), 7), "
+        "i -> substring(text, i, 12))) AS g",
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+    )
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.g"), F.col("b.g"))))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_exprs() -> tuple[str, str]:
+    spark_bits, duck_bits = [], []
+    for j in range(_SIMHASH_BITS):
+        spark_bits.append(
+            f"(CASE WHEN aggregate(split(trim(text), '\\\\s+'), 0, (acc, t) -> acc + "
+            f"(CASE WHEN instr('89abcdef', substring(md5(t), {j + 1}, 1)) > 0 THEN 1 ELSE -1 END)"
+            f") > 0 THEN {1 << j} ELSE 0 END)"
+        )
+        duck_bits.append(
+            f"(CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(md5(t), {j + 1}, 1)) > 0 "
+            f"THEN 1 ELSE -1 END for t in regexp_split_to_array(trim(text), '\\s+')]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(spark_bits), " + ".join(duck_bits)
+
+
+_SIMHASH_SPARK, _SIMHASH_DUCK = _simhash_exprs()
+_SIMHASH_SQL = f"SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash FROM documents"
+
+
+@_register("simhash", _SIMHASH_SQL)
+def simhash(spark, sf_dir):
+    """SimHash: 16-bit token-majority fingerprint — per-token md5 nibble
+    high-bit votes, folded JVM-side (no Python on the hot path)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.selectExpr("doc_id", f"CAST({_SIMHASH_SPARK} AS BIGINT) AS simhash")
+
+
+# =====================================================================
+# training-data ops: text analysis (documents)
+# =====================================================================
+
+
+@_register(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@_register(
+    "quality_score",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring: token count, char length, avg word length."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("len_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok, 4
+        ).alias("avg_word_len"),
+    )
+
+
+_STOPSETS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def _langid_sqls() -> tuple[str, str]:
+    def score(words, regexp_all: str) -> str:
+        pat = "\\\\b(?:" + "|".join(words) + ")\\\\b"
+        return regexp_all.format(pat=pat)
+
+    sp = {
+        lang: score(ws, "size(regexp_extract_all(lower(text), '({pat})', 1))")
+        for lang, ws in _STOPSETS.items()
+    }
+    du = {
+        lang: score(ws, "length(regexp_extract_all(lower(text), '({pat})'))").replace(
+            "\\\\b", "\\b"
+        )
+        for lang, ws in _STOPSETS.items()
+    }
+
+    def pred(s):
+        return (
+            f"CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en' "
+            f"WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de' "
+            f"WHEN {s['fr']} >= {s['es']} THEN 'fr' ELSE 'es' END"
+        )
+
+    spark_expr = f"doc_id, CAST({sp['en']} AS INTEGER) AS s_en, {pred(sp)} AS pred_lang, lang"
+    duck_sql = (
+        f"SELECT doc_id, CAST({du['en']} AS INTEGER) AS s_en, {pred(du)} AS pred_lang, lang "
+        "FROM documents"
+    )
+    return spark_expr, duck_sql
+
+
+_LANGID_SPARK, _LANGID_SQL = _langid_sqls()
+
+
+def _split_select(expr: str) -> list[str]:
+    """Split a SELECT list on top-level commas (CASE exprs contain commas)."""
+    out, depth, cur = [], 0, []
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+@_register("lang_id", _LANGID_SQL)
+def lang_id(spark, sf_dir):
+    """Language ID heuristic: stopword-hit scoring with deterministic
+    argmax tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return d.selectExpr(*_split_select(_LANGID_SPARK))
+
+
+@_register(
+    "fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+    )
+
+
+# =====================================================================
+# training-data ops: similarity search (embeddings)
+# =====================================================================
+
+_DIM = 64
+_rng = np.random.default_rng(7)
+_PLANES = _rng.standard_normal((2, _DIM)).round(4)
+
+
+def _dot_spark(vec_col: str, arr: list[float]) -> str:
+    lit = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in arr) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+
+
+def _dot_duck(vec_col: str, arr: list[float]) -> str:
+    lit = "[" + ",".join(f"CAST({x} AS DOUBLE)" for x in arr) + "]"
+    return f"list_sum(list_transform(list_zip({vec_col}::DOUBLE[], {lit}), z -> z[1] * z[2]))"
+
+
+_BUCKETS_SQL = f"""
+    SELECT vec_id, label,
+           CAST((CASE WHEN {_dot_duck('embedding', list(_PLANES[0]))} > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN {_dot_duck('embedding', list(_PLANES[1]))} > 0 THEN 1 ELSE 0 END)
+             AS INTEGER) AS bucket
+    FROM embeddings
+"""
+
+
+@_register("lsh_hyperplane_buckets", _BUCKETS_SQL)
+def lsh_hyperplane_buckets(spark, sf_dir):
+    """Similarity scale path: random-hyperplane LSH bucket assignment —
+    sign bits of dot products with 2 fixed seeded planes."""
+    e = _t(spark, sf_dir, "embeddings")
+    d0 = _dot_spark("embedding", list(_PLANES[0]))
+    d1 = _dot_spark("embedding", list(_PLANES[1]))
+    return e.selectExpr(
+        "vec_id",
+        "label",
+        f"CAST((CASE WHEN {d0} > 0 THEN 2 ELSE 0 END) + "
+        f"(CASE WHEN {d1} > 0 THEN 1 ELSE 0 END) AS INTEGER) AS bucket",
+    )
+
+
+_COS_SQL = """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id <= 2)
+    SELECT q.q_id, e.vec_id,
+           round(
+             list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.q_emb), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                * sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))), 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+"""
+
+
+@_register("cosine_bruteforce", _COS_SQL)
+def cosine_bruteforce(spark, sf_dir):
+    """Brute-force cosine similarity of every vector vs 3 query vectors
+    (broadcast nested loop — the exact baseline for ANN)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dot = (
+        "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    n1 = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    n2 = (
+        "sqrt(aggregate(transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    return e.crossJoin(F.broadcast(q)).selectExpr(
+        "q_id", "vec_id", f"round({dot} / ({n1} * {n2}), 4) AS cos_sim"
+    )
+
+
+_TOPK_SQL = f"""
+    WITH cos AS ({_COS_SQL})
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM cos
+    ) WHERE rn <= 5
+"""
+
+
+@_register("ann_topk", _TOPK_SQL)
+def ann_topk(spark, sf_dir):
+    """Top-k neighbors per query: window over rounded cosine with a
+    total tie-break (vec_id) so ranking is deterministic."""
+    cos = cosine_bruteforce(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+# =====================================================================
+# audio / multimodal plumbing (rows-only: oracle can't synthesize PCM)
+# =====================================================================
+
+
+@_register("audio_synth_stats", None)
+def audio_synth_stats(spark, sf_dir):
+    """Multimodal binary plumbing: distributed PCM synth → decode →
+    per-clip RMS via Arrow-batched pandas; rows-only driver check
+    (SNR parity is asserted in pytest instead)."""
+    import pandas as pd
+
+    from olake_spark.fixtures.audio_clips import CLIP_SCHEMA, clip_row
+    from olake_spark.functions.audio import decode_pcm_s16le
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [clip_row(int(i)) for i in pdf["id"]]
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                    "transcript", "_op_type", "_cdc_timestamp", "_olake_timestamp",
+                ],
+            )
+
+    clips = spark.range(64, numPartitions=4).mapInPandas(gen, schema=CLIP_SCHEMA)
+
+    def stats(batches):
+        for pdf in batches:
+            import numpy as _np
+
+            rms = [
+                float(_np.sqrt(_np.mean(decode_pcm_s16le(bytes(b)) ** 2)))
+                for b in pdf["bytes"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "sr_hz": pdf["sr_hz"],
+                    "dur_ms": pdf["dur_ms"],
+                    "n_bytes": [len(bytes(b)) for b in pdf["bytes"]],
+                    "rms": [round(r, 4) for r in rms],
+                }
+            )
+
+    return clips.mapInPandas(
+        stats, schema="clip_id string, sr_hz int, dur_ms int, n_bytes long, rms double"
+    )

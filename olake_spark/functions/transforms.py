@@ -43,8 +43,10 @@ def day_transform(col) -> Column:
 
 
 def hour_transform(col) -> Column:
+    # tz-proof: derive from calendar fields, not unix_timestamp (which
+    # would apply the session timezone to NTZ values)
     c = F.col(col) if isinstance(col, str) else col
-    return (F.unix_timestamp(c) / 3600).cast("int")
+    return (day_transform(c) * 24 + F.hour(c)).cast("int")
 
 
 def partition_path(**field_values) -> Column:

@@ -1,0 +1,25 @@
+"""Driver-contract guard: every queries() entry runs, and every oracle
+matches DuckDB at sf0.001 (the driver repeats this at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracles import main as check_main  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_all_oracles_match():
+    assert check_main(SF_DIR, []) == 0
