@@ -646,56 +646,38 @@ _STOPSETS = {
 }
 
 
-def _langid_sqls() -> tuple[str, str]:
-    def score(words, regexp_all: str) -> str:
-        pat = "\\\\b(?:" + "|".join(words) + ")\\\\b"
-        return regexp_all.format(pat=pat)
+_LANGID_PRED = (
+    "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+    "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+    "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+)
 
-    sp = {
-        lang: score(ws, "size(regexp_extract_all(lower(text), '({pat})', 1))")
-        for lang, ws in _STOPSETS.items()
-    }
-    du = {
-        lang: score(ws, "length(regexp_extract_all(lower(text), '({pat})'))").replace(
-            "\\\\b", "\\b"
-        )
-        for lang, ws in _STOPSETS.items()
-    }
 
-    def pred(s):
-        return (
-            f"CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} THEN 'en' "
-            f"WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de' "
-            f"WHEN {s['fr']} >= {s['es']} THEN 'fr' ELSE 'es' END"
-        )
+def _langid_sqls() -> tuple[list[str], str]:
+    """Each stopword-regex score is computed exactly once in an inner
+    projection; the argmax CASE only references the score columns (the
+    naive inline form re-ran each regex up to 4x per row)."""
 
-    spark_expr = f"doc_id, CAST({sp['en']} AS INTEGER) AS s_en, {pred(sp)} AS pred_lang, lang"
+    def scores(regexp_all: str, bound: str) -> dict[str, str]:
+        return {
+            lang: regexp_all.format(pat=f"{bound}(?:" + "|".join(ws) + f"){bound}")
+            for lang, ws in _STOPSETS.items()
+        }
+
+    sp = scores("CAST(size(regexp_extract_all(lower(text), '({pat})', 1)) AS INTEGER)", "\\\\b")
+    du = scores("CAST(length(regexp_extract_all(lower(text), '({pat})')) AS INTEGER)", "\\b")
+
+    spark_inner = ["doc_id", "lang"] + [f"{sp[x]} AS s_{x}" for x in _STOPSETS]
     duck_sql = (
-        f"SELECT doc_id, CAST({du['en']} AS INTEGER) AS s_en, {pred(du)} AS pred_lang, lang "
-        "FROM documents"
+        f"SELECT doc_id, s_en, {_LANGID_PRED} AS pred_lang, lang FROM ("
+        "SELECT doc_id, lang, "
+        + ", ".join(f"{du[x]} AS s_{x}" for x in _STOPSETS)
+        + " FROM documents)"
     )
-    return spark_expr, duck_sql
+    return spark_inner, duck_sql
 
 
-_LANGID_SPARK, _LANGID_SQL = _langid_sqls()
-
-
-def _split_select(expr: str) -> list[str]:
-    """Split a SELECT list on top-level commas (CASE exprs contain commas)."""
-    out, depth, cur = [], 0, []
-    for ch in expr:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur).strip())
-    return out
+_LANGID_SPARK_INNER, _LANGID_SQL = _langid_sqls()
 
 
 @_register("lang_id", _LANGID_SQL)
@@ -703,7 +685,9 @@ def lang_id(spark, sf_dir):
     """Language ID heuristic: stopword-hit scoring with deterministic
     argmax tie-break."""
     d = _t(spark, sf_dir, "documents")
-    return d.selectExpr(*_split_select(_LANGID_SPARK))
+    return d.selectExpr(*_LANGID_SPARK_INNER).selectExpr(
+        "doc_id", "s_en", f"{_LANGID_PRED} AS pred_lang", "lang"
+    )
 
 
 @_register(
