@@ -1,0 +1,237 @@
+"""CLI entry points: spec | check | discover | sync | clear.
+
+Mirrors the reference's protocol verbs (protocol/root.go:89-103,
+README.md:158-165) re-shaped for a maintenance engine:
+
+- ``spec``      print the job-spec JSON schema (≙ connector spec)
+- ``check``     validate config, table reachability, write probe
+                (≙ destination Check ping, destination/writers.go:86-121)
+- ``discover``  inspect a table → stream-catalog JSON: schema, snapshot
+                history, file/row/byte counts (≙ protocol/discover.go:18-74)
+- ``sync``      run the maintenance pipeline from a job spec, resumable
+                through the lineage manifest (≙ protocol/sync.go)
+- ``clear``     expire all but the current snapshot and drop lineage
+                state (≙ clear destination, iceberg.go:511-557)
+
+Run as ``python -m olake_spark.cli <verb> --config job.json`` — the
+module layout is ``spark-submit --py-files olake_spark.zip``-friendly:
+everything reaches the executors as plain importable modules.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+JOB_SPEC = {
+    "type": "object",
+    "required": ["table"],
+    "properties": {
+        "table": {"type": "string", "description": "table location (directory)"},
+        "job_id": {"type": "string", "description": "resume key; default sha256(config)"},
+        "lineage_path": {"type": "string", "description": "lineage manifest JSON path"},
+        "cores": {"type": ["integer", "string"], "description": "local[N] parallelism"},
+        "stages": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "required": ["op"],
+                "properties": {
+                    "op": {
+                        "enum": [
+                            "cdc_merge", "merge", "compact", "cluster",
+                            "rewrite_manifests", "expire",
+                        ]
+                    },
+                    "source_dir": {"type": "string"},
+                    "checkpoint_dir": {"type": "string"},
+                    "curve": {"enum": ["zorder", "hilbert"]},
+                    "row_weight": {"type": "string"},
+                    "target_size": {"type": "integer"},
+                    "keep_last": {"type": "integer"},
+                },
+            },
+        },
+    },
+}
+
+
+def _spark(cfg: dict):
+    from olake_spark.session import get_spark
+
+    return get_spark("olake-cli", cores=cfg.get("cores"))
+
+
+def _load_table(spark, cfg: dict):
+    from olake_spark.table.table import Table
+
+    return Table.load(spark, cfg["table"])
+
+
+def _job_id(cfg: dict) -> str:
+    # syncID = hash of the configs (utils/utils.go:311-326)
+    if cfg.get("job_id"):
+        return cfg["job_id"]
+    return hashlib.sha256(
+        json.dumps(cfg, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def cmd_spec(_cfg: dict) -> dict:
+    return JOB_SPEC
+
+
+def cmd_check(cfg: dict) -> dict:
+    """Config + connectivity + write-probe validation."""
+    errors = []
+    for s in cfg.get("stages", []):
+        if s.get("op") not in (
+            "cdc_merge", "merge", "compact", "cluster", "rewrite_manifests", "expire"
+        ):
+            errors.append(f"unknown op {s.get('op')!r}")
+        if s.get("op") == "cdc_merge" and not s.get("source_dir"):
+            errors.append("cdc_merge requires source_dir")
+    if not os.path.isdir(cfg.get("table", "")):
+        errors.append(f"table location not found: {cfg.get('table')}")
+    if errors:
+        return {"status": "FAILED", "errors": errors}
+    spark = _spark(cfg)
+    t = _load_table(spark, cfg)
+    probe = t.scan().limit(1).count()  # read probe (destination Check ping)
+    return {
+        "status": "SUCCEEDED",
+        "table": t.meta.name,
+        "current_snapshot": t.meta.current_snapshot_id,
+        "probe_rows": probe,
+    }
+
+
+def cmd_discover(cfg: dict) -> dict:
+    """Table → stream-catalog JSON (the streams.json analog)."""
+    spark = _spark(cfg)
+    t = _load_table(spark, cfg)
+    entries = t.entries()
+    return {
+        "streams": [
+            {
+                "name": t.meta.name,
+                "namespace": os.path.basename(os.path.dirname(t.location)) or "default",
+                "type_schema": json.loads(t.meta.schema_json),
+                "primary_keys": t.meta.identifier_fields,
+                "partition_spec": t.meta.partition_spec,
+                "sync_modes": ["full_refresh", "cdc"],
+                "stats": {
+                    "files": len(entries),
+                    "rows": sum(e.record_count for e in entries),
+                    "bytes": sum(e.file_size_bytes for e in entries),
+                },
+                "snapshots": [
+                    {
+                        "id": s.snapshot_id,
+                        "operation": s.operation,
+                        "timestamp_ms": s.timestamp_ms,
+                        "summary": s.summary,
+                    }
+                    for s in t.meta.snapshots
+                ],
+            }
+        ]
+    }
+
+
+def cmd_sync(cfg: dict) -> dict:
+    """Run the staged maintenance pipeline, resumable per stage/unit."""
+    from olake_spark.operators.clustering import cluster
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.expire import expire_snapshots
+    from olake_spark.operators.manifests import rewrite_manifests
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.plans.lineage import LineageManifest
+    from olake_spark.streaming import cdc_stream_merge
+
+    spark = _spark(cfg)
+    t = _load_table(spark, cfg)
+    job_id = _job_id(cfg)
+    lineage_path = cfg.get("lineage_path") or os.path.join(
+        t.location, "metadata", f"lineage-{job_id}.json"
+    )
+    lin = LineageManifest(lineage_path, job_id)
+    results = []
+    for i, s in enumerate(cfg.get("stages", [])):
+        op = s["op"]
+        stage_id = f"{i:02d}-{op}"
+        if op == "compact":
+            r = compact(t, target_size=s.get("target_size"), lineage=lin, stage=stage_id)
+        elif op == "cluster":
+            r = cluster(
+                t,
+                curve=s.get("curve", "zorder"),
+                target_size=s.get("target_size"),
+                lineage=lin,
+                stage=stage_id,
+                row_weight=s.get("row_weight", "length(bytes) + 64"),
+            )
+        elif op == "merge":
+            src = spark.read.parquet(s["source_dir"])
+            r = merge_into(t, src, lineage=lin, stage=stage_id)
+        elif op == "cdc_merge":
+            r = cdc_stream_merge(
+                t,
+                s["source_dir"],
+                s.get("checkpoint_dir")
+                or os.path.join(t.location, "metadata", f"ckpt-{job_id}-{i}"),
+            )
+        elif op == "rewrite_manifests":
+            r = rewrite_manifests(t)
+        elif op == "expire":
+            r = expire_snapshots(t, keep_last=s.get("keep_last", 2))
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        results.append({"stage": stage_id, **r})
+    return {"job_id": job_id, "lineage": lineage_path, "stages": results}
+
+
+def cmd_clear(cfg: dict) -> dict:
+    """Trim history to the current snapshot and drop lineage files."""
+    from olake_spark.operators.expire import expire_snapshots
+
+    spark = _spark(cfg)
+    t = _load_table(spark, cfg)
+    r = expire_snapshots(t, keep_last=1)
+    removed = 0
+    mdir = os.path.join(t.location, "metadata")
+    for f in os.listdir(mdir):
+        if f.startswith("lineage-"):
+            os.remove(os.path.join(mdir, f))
+            removed += 1
+    return {**r, "lineage_files_removed": removed}
+
+
+VERBS = {
+    "spec": cmd_spec,
+    "check": cmd_check,
+    "discover": cmd_discover,
+    "sync": cmd_sync,
+    "clear": cmd_clear,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="olake_spark")
+    p.add_argument("verb", choices=sorted(VERBS))
+    p.add_argument("--config", help="job spec JSON path (not needed for spec)")
+    args = p.parse_args(argv)
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+    out = VERBS[args.verb](cfg)
+    print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -514,6 +514,37 @@ def lsh_bands(spark, sf_dir):
     )
 
 
+_BUCKET_JOIN_SQL = f"""
+    WITH bands AS ({_LSH_SQL}),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+    ),
+    p1 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM p0 UNION SELECT doc_a, doc_b FROM p1
+"""
+
+
+@_register("lsh_bucket_join", _BUCKET_JOIN_SQL)
+def lsh_bucket_join(spark, sf_dir):
+    """MinHash-LSH candidate extraction: equi-join per band (shuffle on
+    the band hash — never an O(n²) cross join), union, distinct. The
+    scale path for near-dup detection: cost ∝ collisions, not pairs."""
+    bands = lsh_bands(spark, sf_dir)
+    a0, b0 = bands.alias("a"), bands.alias("b")
+    pairs = None
+    for band in ("band0", "band1"):
+        p = a0.join(
+            b0,
+            (F.col(f"a.{band}") == F.col(f"b.{band}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct()
+
+
 _JACCARD_SQL = """
     WITH grams AS (
         SELECT doc_id, source, n_chars,
@@ -811,9 +842,201 @@ def ann_topk(spark, sf_dir):
     )
 
 
+_NEARDUP_T = 0.25
+
+_NEARDUP_SQL = f"""
+    WITH b AS ({_BUCKETS_SQL}),
+    v AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, b.bucket
+          FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round(
+             list_sum(list_transform(list_zip(a.emb, c.emb), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 4) AS cos_sim
+    FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(
+             list_sum(list_transform(list_zip(a.emb, c.emb), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 4) >= {_NEARDUP_T}
+"""
+
+
+@_register("embedding_near_dup", _NEARDUP_SQL)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH bucket blocking (equi-join on
+    bucket) then exact cosine on candidates only — O(collisions·dim),
+    not O(n²·dim)."""
+    b = lsh_hyperplane_buckets(spark, sf_dir).select("vec_id", "bucket")
+    e = _t(spark, sf_dir, "embeddings").join(b, "vec_id")
+    a, c = e.alias("a"), e.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")),
+    )
+    dot = (
+        "aggregate(zip_with(a.embedding, c.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({s}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (p, q) -> p + q))"
+    )
+    cos = f"round({dot} / ({nrm.format(s='a')} * {nrm.format(s='c')}), 4)"
+    return pairs.selectExpr(
+        "a.vec_id AS vec_a", "c.vec_id AS vec_b", f"{cos} AS cos_sim"
+    ).filter(F.col("cos_sim") >= _NEARDUP_T)
+
+
+_N_CENTROIDS = 4
+_crng = np.random.default_rng(11)
+_CENTROIDS = _crng.standard_normal((_N_CENTROIDS, _DIM)).round(4)
+
+
+def _ivf_assign_exprs() -> tuple[str, str]:
+    """argmin-distance centroid id as a CASE over per-centroid dot
+    products (‖v−c‖² minimized ⟺ v·c − ‖c‖²/2 maximized)."""
+
+    def scores(dot_fn):
+        return [
+            f"({dot_fn('embedding', list(_CENTROIDS[k]))} - {round(float((_CENTROIDS[k] ** 2).sum()) / 2, 6)})"
+            for k in range(_N_CENTROIDS)
+        ]
+
+    def argmax_case(s: list[str]) -> str:
+        # deterministic: first centroid achieving the max wins
+        best = f"greatest({', '.join(s)})"
+        whens = " ".join(
+            f"WHEN {s[k]} = {best} THEN {k}" for k in range(_N_CENTROIDS)
+        )
+        return f"CAST(CASE {whens} END AS INTEGER)"
+
+    return argmax_case(scores(_dot_spark)), argmax_case(scores(_dot_duck))
+
+
+_IVF_SPARK, _IVF_DUCK = _ivf_assign_exprs()
+_IVF_ASSIGN_SQL = f"SELECT vec_id, label, {_IVF_DUCK} AS centroid FROM embeddings"
+
+
+@_register("ivf_assign", _IVF_ASSIGN_SQL)
+def ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer: nearest of k seeded centroids per vector
+    (the partition/list assignment of an IVF ANN index), computed
+    JVM-side from broadcast centroid literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.selectExpr("vec_id", "label", f"{_IVF_SPARK} AS centroid")
+
+
+_IVF_TOPK_SQL = f"""
+    WITH assign AS ({_IVF_ASSIGN_SQL}),
+    v AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, a.centroid
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, centroid FROM v WHERE vec_id <= 2),
+    cand AS (
+        SELECT q.q_id, v.vec_id,
+               round(
+                 list_sum(list_transform(list_zip(v.emb, q.q_emb), z -> z[1] * z[2]))
+                 / (sqrt(list_sum(list_transform(v.emb, x -> x * x)))
+                    * sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))), 4) AS cos_sim
+        FROM v JOIN q ON v.centroid = q.centroid
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= 5
+"""
+
+
+@_register("ivf_topk", _IVF_TOPK_SQL)
+def ivf_topk(spark, sf_dir):
+    """IVF ANN search: probe only the query's centroid list (equi-join
+    on centroid id — 1/k of the table scanned per query), exact cosine
+    within the list, windowed top-k with total tie-break."""
+    assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid")
+    v = _t(spark, sf_dir, "embeddings").join(assign, "vec_id")
+    q = v.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "centroid"
+    )
+    cand = v.join(F.broadcast(q), "centroid")
+    dot = (
+        "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (p, s) -> p + s)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (p, s) -> p + s))"
+    )
+    cand = cand.selectExpr(
+        "q_id",
+        "vec_id",
+        f"round({dot} / ({nrm.format(c='embedding')} * {nrm.format(c='q_emb')}), 4) AS cos_sim",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@_register(
+    "partition_skew",
+    """
+    WITH sz AS (
+        SELECT CAST(l_partkey % 32 AS INTEGER) AS bucket,
+               round(sum(l_extendedprice), 2) AS bytes, count(*) AS n
+        FROM lineitem GROUP BY 1
+    ), m AS (SELECT median(bytes) AS med FROM sz)
+    SELECT bucket, bytes, n, round(bytes / med, 4) AS ratio_to_median
+    FROM sz, m
+    """,
+)
+def partition_skew(spark, sf_dir):
+    """Per-partition byte accounting + ratio-to-median — the skew
+    metric the clustering stage enforces (north rule: no executor
+    >2× median bytes). Median via one tiny agg broadcast back."""
+    li = _t(spark, sf_dir, "lineitem")
+    sz = li.groupBy((F.col("l_partkey") % 32).cast("int").alias("bucket")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("bytes"), F.count("*").alias("n")
+    )
+    med = sz.agg(F.median("bytes").alias("med"))
+    return sz.crossJoin(F.broadcast(med)).select(
+        "bucket", "bytes", "n", F.round(F.col("bytes") / F.col("med"), 4).alias("ratio_to_median")
+    )
+
+
 # =====================================================================
 # audio / multimodal plumbing (rows-only: oracle can't synthesize PCM)
 # =====================================================================
+
+
+@_register("image_meta", None)
+def image_meta(spark, sf_dir):
+    """Multimodal image plumbing: binary column → typed metadata +
+    mean pixel via mapInPandas (decode is the deterministic FIMG
+    fixture; real codecs stubbed — functions/multimodal.py)."""
+    from olake_spark.functions.multimodal import (
+        IMAGE_META_SCHEMA,
+        generate_media,
+        image_meta_stage,
+    )
+
+    media = generate_media(spark, 96, kind="image", partitions=4)
+    return media.mapInPandas(image_meta_stage, schema=IMAGE_META_SCHEMA)
+
+
+@_register("video_frame_sample", None)
+def video_frame_sample(spark, sf_dir):
+    """Multimodal video plumbing: frame-sample every 2nd frame from
+    binary video payloads via mapInPandas (FVID fixture decode)."""
+    from olake_spark.functions.multimodal import (
+        FRAME_SAMPLE_SCHEMA,
+        frame_sample_stage,
+        generate_media,
+    )
+
+    media = generate_media(spark, 48, kind="video", partitions=4)
+    return media.mapInPandas(frame_sample_stage(stride=2), schema=FRAME_SAMPLE_SCHEMA)
 
 
 @_register("audio_synth_stats", None)

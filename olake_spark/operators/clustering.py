@@ -43,7 +43,20 @@ KEY_COL = "__curve_key"
 RANGE_COL = "__olake_range"
 
 
-def _bounds(df, cols: list[str]) -> dict[str, tuple]:
+def _bounds(df, cols: list[str], entries=None) -> dict[str, tuple]:
+    """Global [min,max] per column — from manifest file stats when every
+    file tracks the column (zero data IO), else one narrow agg scan."""
+    if entries:
+        out = {}
+        for c in cols:
+            los = [e.lower_bounds.get(c) for e in entries]
+            his = [e.upper_bounds.get(c) for e in entries]
+            if any(v is None for v in los + his):
+                out = None
+                break
+            out[c] = (min(los), max(his))
+        if out is not None:
+            return out
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
@@ -81,8 +94,16 @@ def cluster(
     sample_rows: int = 100_000,
     lineage: LineageManifest | None = None,
     stage: str | None = None,
+    row_weight: str = "length(bytes) + 64",
 ) -> dict:
-    """Rewrite the whole table clustered by the chosen curve."""
+    """Rewrite the whole table clustered by the chosen curve.
+
+    row_weight: SQL expression estimating a row's stored bytes for the
+    byte-weighted boundary sample. The default reads the binary
+    payload's length; callers who can derive size from metadata
+    columns should (for PCM s16le: ``dur_ms * sr_hz / 500 + 64``) —
+    then the sample pass scans only narrow columns, never the payload.
+    """
     stage = stage or f"cluster-{curve}"
     if lineage is not None and lineage.stage_complete(stage):
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
@@ -95,7 +116,8 @@ def cluster(
     n_ranges = max(1, math.ceil(total_bytes / target_size))
 
     df = table.scan(entries=entries)
-    b = _bounds(df, ["dur_ms", "sr_hz"])
+    # manifest stats make this free when dur/sr are tracked columns
+    b = _bounds(df, ["dur_ms", "sr_hz"], entries=entries)
     if curve == "zorder":
         key_udf = zorder_key_udf(b["dur_ms"][0], b["dur_ms"][1], b["sr_hz"][0], b["sr_hz"][1])
         keyed = df.withColumn(KEY_COL, key_udf("clip_id", "dur_ms", "sr_hz"))
@@ -105,17 +127,19 @@ def cluster(
     else:
         raise ValueError(f"unknown curve {curve!r}")
 
-    # --- sample pass: (key, bytes) → byte-weighted boundaries + skew map
+    # --- sample pass: (key, est-bytes) → byte-weighted boundaries +
+    # skew map. Narrow projection: with a metadata-derived row_weight
+    # this reads 3 small columns, never the payload.
     frac = min(1.0, sample_rows / total_rows)
     sample = (
-        keyed.select(KEY_COL, (F.length("bytes") + F.lit(64)).alias("__b"))
+        keyed.select(KEY_COL, F.expr(row_weight).cast("double").alias("__b"))
         .sample(fraction=frac, seed=42)
         .toPandas()
     )
     if len(sample) == 0:
-        sample = keyed.select(KEY_COL, (F.length("bytes") + F.lit(64)).alias("__b")).limit(
-            10_000
-        ).toPandas()
+        sample = keyed.select(
+            KEY_COL, F.expr(row_weight).cast("double").alias("__b")
+        ).limit(10_000).toPandas()
     keys = sample[KEY_COL].to_numpy(dtype=np.int64)
     wts = sample["__b"].to_numpy(dtype=np.float64)
     order = np.argsort(keys, kind="stable")

@@ -93,6 +93,16 @@ def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[
     return sorted(affected)
 
 
+def _uniform_hex_key(table: Table, key: str) -> bool:
+    """True when the merge key is known uniform-hex (md5 `_olake_id` per
+    utils/utils.go:252-273, or declared via table property
+    ``merge.key-distribution=uniform-hex``)."""
+    prop = table.meta.properties.get("merge.key-distribution")
+    if prop:
+        return prop == "uniform-hex"
+    return key == "_olake_id"
+
+
 def merge_into(
     table: Table,
     source: DataFrame,
@@ -138,9 +148,26 @@ def merge_into(
     est_bytes = aff_bytes + int(src_rows * (aff_bytes / aff_rows)) if aff_bytes else max(src_rows, 1) * 4096
     n_files = max(1, math.ceil(est_bytes / target_file_size))
 
-    new_entries = table.write_datafiles(
-        merged, range_partition_cols=[key], num_groups=n_files
-    )
+    # range-partitioned output keeps per-file key bounds tight (the
+    # next merge prunes well). For the md5 identifier the key space is
+    # uniform hex, so range ids are ANALYTIC from the key prefix — one
+    # pass. repartitionByRange would sample its child, re-executing the
+    # whole merge join a second time just to find boundaries.
+    if _uniform_hex_key(table, key):
+        rid = (
+            F.conv(F.substring(F.col(key), 1, 4), 16, 10).cast("long")
+            * n_files / 65536
+        ).cast("int")
+        new_entries = table.write_datafiles(
+            merged.withColumn("__rid", rid),
+            fanout_col="__rid",
+            num_groups=n_files,
+            sort_within=[key],
+        )
+    else:
+        new_entries = table.write_datafiles(
+            merged, range_partition_cols=[key], num_groups=n_files
+        )
     snap = table.commit_replace(
         set(affected),
         new_entries,

@@ -24,7 +24,11 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    # OLAKE_SPARK_MASTER=spark://host:port runs against a standalone
+    # cluster: `cores` becomes the app's total core cap (spark.cores.max)
+    # spread over single-core executors — a true multi-executor layout.
+    standalone = os.environ.get("OLAKE_SPARK_MASTER")
+    master = standalone if standalone else f"local[{cores}]"
     if shuffle_partitions is None:
         n = (os.cpu_count() or 8) if str(cores) == "*" else int(cores)
         shuffle_partitions = max(8, int(n))
@@ -37,11 +41,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary audio rows are ~10 KB; the 10k-row default Arrow batch
+        # would pin ~100 MB per in-flight task — at 32 concurrent tasks
+        # that overwhelms any executor. 2048 rows ≈ 20 MB per batch.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("OLAKE_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if standalone:
+        import sys
+
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = (
+            b.config("spark.cores.max", str(cores if str(cores) != "*" else os.cpu_count()))
+            .config("spark.executor.cores", os.environ.get("OLAKE_EXECUTOR_CORES", "1"))
+            .config("spark.executor.memory", os.environ.get("OLAKE_EXECUTOR_MEM", "6g"))
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -326,6 +326,31 @@ class Table:
 
         return self._commit(build, validate=validate)
 
+    def update_schema(self, new_schema: T.StructType) -> None:
+        """Metadata-only schema commit (no new snapshot) — the
+        EVOLVE_SCHEMA path (iceberg.go:380-460). Optimistic like data
+        commits: losers refresh and reapply onto the newer version."""
+        for attempt in range(COMMIT_RETRIES + 1):
+            new_meta = TableMetadata(
+                table_uuid=self.meta.table_uuid,
+                name=self.meta.name,
+                location=self.meta.location,
+                schema_json=new_schema.json(),
+                identifier_fields=self.meta.identifier_fields,
+                partition_spec=self.meta.partition_spec,
+                properties=self.meta.properties,
+                current_snapshot_id=self.meta.current_snapshot_id,
+                snapshots=self.meta.snapshots,
+                last_sequence_number=self.meta.last_sequence_number,
+                version=self.meta.version + 1,
+            )
+            if fmt.try_write_metadata(self.location, new_meta):
+                self.meta = new_meta
+                return
+            time.sleep(COMMIT_BACKOFF_S * (2**attempt))
+            self.refresh()
+        raise CommitConflict("schema update lost all retries")
+
     def commit_rewrite_manifests(self, new_manifests: list[str], summary: dict | None = None) -> Snapshot:
         """Metadata-only snapshot: same data files, new manifest layout."""
 

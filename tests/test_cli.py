@@ -1,0 +1,114 @@
+"""CLI verb tests: spec/check/discover/sync/clear over a real table."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from olake_spark import cli
+from olake_spark.fixtures.audio_clips import FULL_SCHEMA, cdc_batch, generate_clips
+from olake_spark.table.table import Table
+
+
+def _mk(spark, tmp_path, n=80):
+    """Two appends of DISJOINT key sets (w0_/w1_ prefixes), 2n rows."""
+    loc = str(tmp_path / "tbl")
+    t = Table.create(
+        spark, loc, "audio_clips", FULL_SCHEMA,
+        identifier_fields=["_olake_id"],
+        properties={"write.target-file-size-bytes": str(1 << 20)},
+    )
+    for w in range(2):
+        df = (
+            generate_clips(spark, n, partitions=4)
+            .withColumn("clip_id", F.concat(F.lit(f"w{w}_"), F.col("clip_id")))
+            .withColumn("_olake_id", F.md5(F.col("clip_id")))
+        )
+        t.commit_append(t.write_datafiles(df))
+    return t
+
+
+def test_spec_lists_all_ops():
+    spec = cli.cmd_spec({})
+    ops = spec["properties"]["stages"]["items"]["properties"]["op"]["enum"]
+    assert set(ops) == {
+        "cdc_merge", "merge", "compact", "cluster", "rewrite_manifests", "expire"
+    }
+
+
+def test_check_valid_and_invalid(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ok = cli.cmd_check({"table": t.location, "stages": [{"op": "compact"}]})
+    assert ok["status"] == "SUCCEEDED" and ok["probe_rows"] == 1
+
+    bad = cli.cmd_check(
+        {"table": str(tmp_path / "nope"), "stages": [{"op": "cdc_merge"}]}
+    )
+    assert bad["status"] == "FAILED"
+    assert any("source_dir" in e for e in bad["errors"])
+    assert any("not found" in e for e in bad["errors"])
+
+
+def test_discover_catalog_shape(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    cat = cli.cmd_discover({"table": t.location})
+    s = cat["streams"][0]
+    assert s["name"] == "audio_clips"
+    assert s["primary_keys"] == ["_olake_id"]
+    assert s["stats"]["rows"] == 160
+    assert [sn["operation"] for sn in s["snapshots"]] == ["append", "append"]
+    assert "clip_id" in [f["name"] for f in s["type_schema"]["fields"]]
+
+
+def test_sync_pipeline_and_resume(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src_dir = str(tmp_path / "cdc")
+    batch = (
+        cdc_batch(spark, 80, 1, updates=8, deletes=4, inserts=2)
+        .withColumn("clip_id", F.concat(F.lit("w0_"), F.col("clip_id")))
+        .withColumn("_olake_id", F.md5(F.col("clip_id")))
+    )
+    batch.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+    cfg = {
+        "table": t.location,
+        "job_id": "job-A",
+        "stages": [
+            {"op": "cdc_merge", "source_dir": src_dir},
+            {"op": "compact"},
+            {"op": "cluster", "curve": "hilbert"},
+            {"op": "rewrite_manifests"},
+            {"op": "expire", "keep_last": 2},
+        ],
+    }
+    out = cli.cmd_sync(cfg)
+    assert [s["stage"] for s in out["stages"]] == [
+        "00-cdc_merge", "01-compact", "02-cluster", "03-rewrite_manifests", "04-expire"
+    ]
+    # cdc_batch strides may overlap update/delete ids; count live keys
+    # the same way the merge dedups (latest _cdc_timestamp wins)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_olake_id").orderBy(F.desc("_cdc_timestamp"))
+    winners = batch.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    n_del = winners.filter("_op_type = 'd'").count()
+    n_ins = winners.filter("_op_type = 'c'").count()
+    rows_after = Table.load(spark, t.location).scan().count()
+    assert rows_after == 160 - n_del + n_ins
+
+    # rerun: cluster stage skips via lineage, cdc stream drains nothing
+    out2 = cli.cmd_sync(cfg)
+    clus2 = [s for s in out2["stages"] if s["stage"] == "02-cluster"][0]
+    assert clus2.get("skipped") is True
+    with open(out2["lineage"]) as f:
+        assert json.load(f)["job_id"] == "job-A"
+
+
+def test_clear_trims_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    r = cli.cmd_clear({"table": t.location})
+    assert r["expired"] >= 1
+    t2 = Table.load(spark, t.location)
+    assert len(t2.meta.snapshots) == 1
+    assert t2.scan().count() == 160

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the pure planning/keying math."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from olake_spark.functions.zcurve import hilbert_d2xy, hilbert_xy2d, morton3
+from olake_spark.plans.ffd import first_fit_decreasing
+from olake_spark.sources.chunked import plan_chunks
+from olake_spark.table import evolution as ev
+
+TYPES = [ev.BOOL, ev.INT32, ev.INT64, ev.FLOAT32, ev.FLOAT64, ev.STRING,
+         ev.TS, ev.TS_MILLI, ev.TS_MICRO, ev.TS_NANO, ev.NULL]
+
+
+@given(st.sampled_from(TYPES), st.sampled_from(TYPES), st.sampled_from(TYPES))
+@settings(max_examples=200, deadline=None)
+def test_lca_commutative_idempotent_closed(a, b, c):
+    assert ev.lca(a, b) == ev.lca(b, a)
+    assert ev.lca(a, a) == a
+    # LCA is an upper bound: promoting again with either input is a no-op
+    r = ev.lca(a, b)
+    if a != ev.NULL:
+        assert ev.lca(r, a) == r
+    # associativity over the tree
+    assert ev.lca(ev.lca(a, b), c) == ev.lca(a, ev.lca(b, c))
+
+
+@given(
+    st.lists(st.tuples(st.uuids().map(str), st.integers(1, 1 << 30)), min_size=0, max_size=60),
+    st.integers(1 << 20, 1 << 31),
+)
+@settings(max_examples=100, deadline=None)
+def test_ffd_invariants(items, capacity):
+    bins = first_fit_decreasing(items, capacity, min_items_per_bin=1)
+    packed = [it for b in bins for it in b.items]
+    # no item lost or duplicated
+    assert sorted(packed) == sorted(items)
+    # no bin overflows (oversize single items get their own bin)
+    for b in bins:
+        assert b.size <= b.capacity
+        if len(b.items) > 1:
+            assert b.size <= capacity
+
+
+@given(st.integers(0, 999), st.integers(0, 9999), st.integers(1, 100))
+@settings(max_examples=100, deadline=None)
+def test_plan_chunks_covers_every_key(lo_off, span, avg_kb):
+    lo, hi = lo_off, lo_off + span
+    rows = span + 1
+    chunks = plan_chunks(lo, hi, rows, avg_kb << 10, chunk_bytes=1 << 20)
+    # every key in [lo, hi] falls in exactly one half-open chunk
+    for k in (lo, hi, lo + span // 2, lo + span // 3):
+        hits = [
+            c for c in chunks
+            if k >= c.min and (c.max is None or k < c.max)
+        ]
+        assert len(hits) == 1
+
+
+@given(st.lists(st.integers(0, (1 << 21) - 1), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_morton_distinct_on_distinct_triples(vals):
+    a = np.array(vals, dtype=np.int64)
+    z1 = morton3(a, a * 0, a * 0)
+    # injective on the first lane: distinct inputs → distinct keys
+    assert len(set(z1.tolist())) == len(set(vals))
+
+
+@given(st.integers(2, 10), st.data())
+@settings(max_examples=50, deadline=None)
+def test_hilbert_bijection(order, data):
+    n = 1 << order
+    xs = np.array(data.draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=32)))
+    ys = np.array(data.draw(st.lists(st.integers(0, n - 1),
+                                     min_size=len(xs), max_size=len(xs))))
+    d = hilbert_xy2d(order, xs, ys)
+    x2, y2 = hilbert_d2xy(order, d)
+    assert np.array_equal(x2, xs) and np.array_equal(y2, ys)
+    assert (d >= 0).all() and (d < n * n).all()

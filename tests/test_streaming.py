@@ -1,0 +1,127 @@
+"""Structured-Streaming CDC tail tests (SURVEY.md §2.10).
+
+Scenario mirrors the reference's matrix Full-Refresh → CDC insert →
+update → delete (utils/testutils/test_utils.go:323-352): land CDC
+batches as parquet files, drain with Trigger.AvailableNow into a
+foreachBatch MERGE, then assert the table equals applying the batches
+in commit-sequence order. Restart with the same checkpoint must be a
+no-op (T5 offset-commit semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olake_spark.fixtures.audio_clips import CLIP_SCHEMA, FULL_SCHEMA, cdc_batch, generate_clips
+from olake_spark.streaming import cdc_stream_merge, windowed_event_stats
+from olake_spark.table.table import Table
+
+BASE_N = 120
+
+
+def _mk_table(spark, path):
+    t = Table.create(
+        spark,
+        path,
+        "audio_clips",
+        FULL_SCHEMA,
+        identifier_fields=["_olake_id"],
+        properties={"stats.columns": '["_olake_id"]'},
+    )
+    t.commit_append(t.write_datafiles(generate_clips(spark, BASE_N, partitions=4)))
+    return t
+
+
+def _land(df, landing, name):
+    df.coalesce(1).write.parquet(os.path.join(landing, name))
+
+
+def test_cdc_stream_merge_applies_batches(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "tbl"))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    b1 = cdc_batch(spark, BASE_N, 1, updates=10, deletes=5, inserts=3, dup_keys=2)
+    b2 = cdc_batch(spark, BASE_N, 2, updates=6, deletes=2, inserts=2)
+    _land(b1, landing, "batch1")
+    _land(b2, landing, "batch2")
+
+    prog = cdc_stream_merge(t, landing, str(tmp_path / "ckpt"))
+    assert prog["rows"] == b1.count() + b2.count()
+
+    # oracle: apply the union as one deduped batch (order-free by design
+    # — commit seq is total, iceberg.go:234-266)
+    final = {r["_olake_id"]: r for r in t.scan().select("_olake_id", "transcript").collect()}
+    union = b1.unionAll(b2)
+    w_latest = union.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_olake_id").orderBy(F.desc("_cdc_timestamp"))
+        ),
+    ).filter("rn = 1")
+    expected_dead = {r["_olake_id"] for r in w_latest.filter("_op_type = 'd'").collect()}
+    expected_live = {
+        r["_olake_id"]: r["transcript"]
+        for r in w_latest.filter("_op_type <> 'd'").collect()
+    }
+    for k in expected_dead:
+        assert k not in final
+    for k, tr in expected_live.items():
+        assert final[k]["transcript"] == tr
+
+    # bounded-run restart with same checkpoint: no new batches (T4/T5)
+    snap_before = t.meta.current_snapshot_id
+    prog2 = cdc_stream_merge(t, landing, str(tmp_path / "ckpt"))
+    assert prog2["batches"] == 0
+    assert t.refresh().meta.current_snapshot_id == snap_before
+
+
+def test_cdc_stream_new_files_only(spark, tmp_path):
+    """Second bounded run picks up only newly-landed files."""
+    t = _mk_table(spark, str(tmp_path / "tbl"))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _land(cdc_batch(spark, BASE_N, 1, updates=5), landing, "batch1")
+    cdc_stream_merge(t, landing, str(tmp_path / "ckpt"))
+    n_after_1 = t.scan().count()
+
+    _land(cdc_batch(spark, BASE_N, 2, inserts=7), landing, "batch2")
+    prog = cdc_stream_merge(t, landing, str(tmp_path / "ckpt"))
+    assert prog["batches"] == 1
+    assert t.refresh().scan().count() == n_after_1 + 7
+
+
+def test_windowed_event_stats_matches_batch(spark, tmp_path):
+    """Watermarked streaming window == plain batch groupBy on a
+    bounded replay (AvailableNow processes everything, nothing late)."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    b = cdc_batch(spark, BASE_N, 1, updates=20, deletes=10, inserts=5)
+    _land(b, landing, "batch1")
+
+    stream_df = windowed_event_stats(
+        spark, landing, CLIP_SCHEMA + ", _olake_id string", window="10 minutes"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["_op_type"]): r["n_ops"]
+        for r in spark.table("win_stats").collect()
+    }
+    expected = {
+        (r["ws"], r["_op_type"]): r["n"]
+        for r in b.groupBy(
+            F.window("_cdc_timestamp", "10 minutes").start.alias("ws"), "_op_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
