@@ -150,3 +150,25 @@ class TestMerge:
         for r in scan.filter(~F.col("transcript").rlike(" v\\d+$")).limit(20).collect():
             i = int(re.search(r"(\d+)$", r["clip_id"]).group(1))
             assert r["transcript"] == transcript_for(i)
+
+
+class TestAnalyticRangeOutput:
+    def test_merge_output_files_have_tight_disjoint_bounds(self, spark, merged_table):
+        """The analytic hex-prefix fanout must produce files whose
+        _olake_id [min,max] ranges are narrow and non-overlapping, so
+        the NEXT merge's manifest pruning works (self-sustaining)."""
+        batch = cdc_batch(spark, BASE_N, batch_no=7, updates=10)
+        merge_into(merged_table, batch, target_file_size=64 * 1024)
+        entries = sorted(
+            (e for e in merged_table.entries() if e.lower_bounds.get("_olake_id")),
+            key=lambda e: e.lower_bounds["_olake_id"],
+        )
+        assert len(entries) >= 2
+        for a, b in zip(entries, entries[1:]):
+            assert a.upper_bounds["_olake_id"] <= b.lower_bounds["_olake_id"]
+        # each file spans well under the whole hex keyspace
+        spans = [
+            int(e.upper_bounds["_olake_id"][:4], 16) - int(e.lower_bounds["_olake_id"][:4], 16)
+            for e in entries
+        ]
+        assert max(spans) < 65536 / len(entries) * 3
