@@ -386,23 +386,29 @@ class StandaloneCluster:
 
 
 def main_scaling(n_clips: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> None:
-    """North-rule scaling evidence: the same maintenance job graph on a
-    real multi-executor standalone cluster at N vs 4N single-core
-    executors; efficiency = thr(4N) / ((4N/N) × thr(N)).
+    """North-rule scaling evidence: the same maintenance job graph at
+    N vs 4N cores; efficiency = thr(4N) / ((4N/N) × thr(N)).
 
-    The sandbox host's memory bandwidth fluctuates ~20× minute-to-
-    minute (probe reported per run), so configs are interleaved
-    [N, 4N] × repeats and each config's per-stage time is the MIN
-    across repeats — the least-contended estimate of capability."""
-    own_cluster = "OLAKE_SPARK_MASTER" not in os.environ
+    Measurement mode is taskset-pinned local[N] — one JVM whose task,
+    GC and IO threads all share exactly N cores, i.e. an honest
+    N-core machine. (Cluster mode with per-core executor JVMs routes
+    7/8 of the shuffle through loopback TCP, which this host's
+    fluctuating memory bandwidth penalizes ~4×; the standalone-cluster
+    path in this file remains the spark-submit deployment check, run
+    it via OLAKE_SCALING_MODE=cluster.)
+
+    The host's bandwidth fluctuates ~20× minute-to-minute (probe
+    reported per run), so configs are interleaved [N, 4N] × repeats
+    and each config's per-stage time is the MIN across repeats — the
+    least-contended estimate of capability."""
+    cluster_mode = os.environ.get("OLAKE_SCALING_MODE") == "cluster"
     cluster = None
-    if own_cluster:
+    master_url = None
+    if cluster_mode:
         log(f"== starting standalone cluster: {hi} single-core workers ==")
         cluster = StandaloneCluster(n_workers=hi)
         cluster.start()
         master_url = cluster.master_url
-    else:
-        master_url = os.environ["OLAKE_SPARK_MASTER"]
 
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     try:
@@ -411,14 +417,15 @@ def main_scaling(n_clips: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> No
                 probe = _mem_bandwidth_probe()
                 log(f"== run {r + 1}/{repeats} cores={cores} host_bw={probe} GB/s ==")
                 env = dict(os.environ)
-                env.setdefault("OLAKE_SPARK_DRIVER_MEM", "8g")
-                env["OLAKE_SPARK_MASTER"] = master_url
+                env.setdefault("OLAKE_SPARK_DRIVER_MEM", "24g")
+                cmd = [sys.executable, __file__, "--maint-only", str(cores), str(n_clips)]
+                if cluster_mode:
+                    env["OLAKE_SPARK_MASTER"] = master_url
+                else:
+                    env.pop("OLAKE_SPARK_MASTER", None)
+                    cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
                 p = subprocess.run(
-                    [sys.executable, __file__, "--maint-only", str(cores), str(n_clips)],
-                    capture_output=True,
-                    text=True,
-                    env=env,
-                    cwd=HERE,
+                    cmd, capture_output=True, text=True, env=env, cwd=HERE
                 )
                 if p.returncode != 0:
                     log(p.stderr[-4000:])
@@ -467,6 +474,8 @@ def main_scaling(n_clips: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> No
                 "clips_per_sec": results[c]["clips_per_sec"],
                 "pipeline_sec": results[c]["pipeline_sec"],
                 "stages_sec": results[c]["stages_sec"],
+                "all_maintenance_sec": results[c]["all_maintenance_sec"],
+                "host_bw_gbps_per_run": results[c]["host_bw_gbps_per_run"],
             }
             for c in (lo, hi)
         },
