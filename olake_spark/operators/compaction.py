@@ -69,6 +69,16 @@ def _rewrite_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFi
         num_groups=len(bins),
         sort_within=[key] if key else None,
     )
+    # a rewrite must carry every input row — abort BEFORE the replace
+    # commit if the plan join dropped anything (path normalization bugs
+    # would otherwise silently delete data)
+    expected = sum(entry_by_path[p].record_count for p in paths)
+    got = sum(e.record_count for e in new_entries)
+    if got != expected:
+        raise RuntimeError(
+            f"compaction rewrite row mismatch: planned {expected} rows, "
+            f"wrote {got} — aborting before commit"
+        )
     return paths, new_entries
 
 

@@ -62,6 +62,9 @@ class Table:
     ) -> "Table":
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
+        # relative locations break any comparison against Spark's
+        # absolute _metadata.file_path — normalize once at the boundary
+        location = os.path.abspath(location)
         os.makedirs(fmt.metadata_dir(location), exist_ok=True)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         props = {TARGET_FILE_SIZE_PROP: str(DEFAULT_TARGET_FILE_SIZE)}
@@ -85,10 +88,12 @@ class Table:
 
     @staticmethod
     def load(spark: SparkSession, location: str) -> "Table":
+        location = os.path.abspath(location)
         v = fmt.read_version_hint(location)
         with open(fmt.metadata_path(location, v)) as f:
             meta = TableMetadata.from_json(f.read())
         meta.version = v
+        meta.location = location  # actual path wins if the dir moved
         return Table(spark, meta)
 
     def refresh(self) -> "Table":

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -226,3 +228,26 @@ class TestManifestRewrite:
         rewrite_manifests(t)
         assert t.live_paths() == paths_before
         assert t.meta.snapshot().operation == "rewrite-manifests"
+
+
+class TestRelativeLocation:
+    def test_compact_preserves_rows_for_relative_table_path(self, spark, tmp_path, monkeypatch):
+        """Regression: a table created via a RELATIVE path must not
+        lose rows in compaction (path-join vs absolute
+        _metadata.file_path). Locations normalize to absolute at the
+        Table boundary; the rewrite also hard-aborts on row loss."""
+        monkeypatch.chdir(tmp_path)
+        t = Table.create(
+            spark, "./rel_tbl", "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+            properties={"write.target-file-size-bytes": str(1 << 20)},
+        )
+        assert os.path.isabs(t.location)
+        for _ in range(3):
+            t.commit_append(t.write_datafiles(generate_clips(spark, 150, partitions=4)))
+        rows_before = t.scan().count()
+        r = compact(t)
+        assert r["files_in"] > 0
+        assert t.scan().count() == rows_before
+        t2 = Table.load(spark, "./rel_tbl")
+        assert t2.scan().count() == rows_before

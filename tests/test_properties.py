@@ -80,3 +80,29 @@ def test_hilbert_bijection(order, data):
     x2, y2 = hilbert_d2xy(order, d)
     assert np.array_equal(x2, xs) and np.array_equal(y2, ys)
     assert (d >= 0).all() and (d < n * n).all()
+
+
+def _naive_ffd(items, capacity):
+    """Reference first-fit-decreasing (linear scan) for equivalence."""
+    bins: list[list] = []
+    caps: list[int] = []
+    for item_id, size in sorted(items, key=lambda kv: (-kv[1], kv[0])):
+        for i, b in enumerate(bins):
+            if size <= caps[i] - sum(s for _, s in b):
+                b.append((item_id, size))
+                break
+        else:
+            bins.append([(item_id, size)])
+            caps.append(max(capacity, size))
+    return bins
+
+
+@given(
+    st.lists(st.tuples(st.uuids().map(str), st.integers(1, 1 << 24)), max_size=80),
+    st.integers(1 << 16, 1 << 25),
+)
+@settings(max_examples=100, deadline=None)
+def test_ffd_segment_tree_matches_naive(items, capacity):
+    fast = first_fit_decreasing(items, capacity, min_items_per_bin=1)
+    slow = _naive_ffd(items, capacity)
+    assert [b.items for b in fast] == slow
