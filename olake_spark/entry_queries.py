@@ -532,8 +532,12 @@ _BUCKET_JOIN_SQL = f"""
 def lsh_bucket_join(spark, sf_dir):
     """MinHash-LSH candidate extraction: equi-join per band (shuffle on
     the band hash — never an O(n²) cross join), union, distinct. The
-    scale path for near-dup detection: cost ∝ collisions, not pairs."""
-    bands = lsh_bands(spark, sf_dir)
+    scale path for near-dup detection: cost ∝ collisions, not pairs.
+
+    Band signatures are materialized once (localCheckpoint) — a plain
+    self-join would re-run the shingle+minhash subtree for each side;
+    at production scale the signatures live in their own table."""
+    bands = lsh_bands(spark, sf_dir).localCheckpoint(eager=False)
     a0, b0 = bands.alias("a"), bands.alias("b")
     pairs = None
     for band in ("band0", "band1"):
@@ -867,7 +871,8 @@ def embedding_near_dup(spark, sf_dir):
     bucket) then exact cosine on candidates only — O(collisions·dim),
     not O(n²·dim). Norms are precomputed per VECTOR before the
     self-join, not per pair (at k candidate pairs per vector that is
-    2k fewer O(dim) reductions per vector)."""
+    2k fewer O(dim) reductions per vector); the bucketed+normed
+    projection is materialized once for both join sides."""
     b = lsh_hyperplane_buckets(spark, sf_dir).select("vec_id", "bucket")
     nrm = (
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
@@ -877,6 +882,7 @@ def embedding_near_dup(spark, sf_dir):
         _t(spark, sf_dir, "embeddings")
         .join(b, "vec_id")
         .selectExpr("vec_id", "embedding", "bucket", f"{nrm} AS nrm")
+        .localCheckpoint(eager=False)
     )
     a, c = e.alias("a"), e.alias("c")
     pairs = a.join(
