@@ -27,14 +27,18 @@ def get_spark(
     # OLAKE_SPARK_MASTER=spark://host:port runs against a standalone
     # cluster: `cores` becomes the app's total core cap (spark.cores.max)
     # spread over single-core executors — a true multi-executor layout.
+    # Under spark-submit (gateway already launched) the submitted
+    # --master wins: never override it here.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     standalone = os.environ.get("OLAKE_SPARK_MASTER")
-    master = standalone if standalone else f"local[{cores}]"
     if shuffle_partitions is None:
         n = (os.cpu_count() or 8) if str(cores) == "*" else int(cores)
         shuffle_partitions = max(8, int(n))
+    b = SparkSession.builder
+    if not under_submit:
+        b = b.master(standalone if standalone else f"local[{cores}]")
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -50,7 +54,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
-    if standalone:
+    if standalone and not under_submit:
         import sys
 
         os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
