@@ -40,6 +40,7 @@ def cdc_stream_merge(
     key: str = "_olake_id",
     max_files_per_trigger: int | None = None,
     timeout_s: float = 600.0,
+    fmt: str = "parquet",
 ) -> dict:
     """Drain a CDC landing dir into the table via per-batch MERGE.
 
@@ -48,14 +49,42 @@ def cdc_stream_merge(
     checkpoint_dir skips already-committed batches (engine-side), and
     a batch replayed after a mid-commit crash is idempotent
     (merge-side dedup). Returns {"batches": n, "rows": n}.
+
+    fmt: "parquet" or "json" — the reference's decoded CDC records are
+    JSON (pkg/waljs/filter.go:33-60); jsonl landing files carry the
+    same RawRecord shape and are aligned (cast/pad) to the table
+    schema, binary columns arriving base64-encoded.
     """
     spark = table.spark
     schema = table.schema
     # CDC batches land as one subdirectory per batch — recurse
-    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    reader = spark.readStream.option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(source_dir)
+    if fmt == "json":
+        from pyspark.sql import types as T
+
+        from olake_spark.table.evolution import align_batch
+
+        # JSON has no binary/timestamp physical types: read those as
+        # string, then align (base64 → binary, ISO strings → timestamp)
+        json_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.StringType() if isinstance(f.dataType, (T.BinaryType, T.TimestampType)) else f.dataType,
+                    True,
+                )
+                for f in schema.fields
+            ]
+        )
+        raw = reader.schema(json_schema).json(source_dir)
+        bin_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.BinaryType)]
+        for c in bin_cols:
+            raw = raw.withColumn(c, F.unbase64(F.col(c)))
+        src = align_batch(raw, schema)
+    else:
+        src = reader.schema(schema).parquet(source_dir)
 
     progress = {"batches": 0, "rows": 0}
 

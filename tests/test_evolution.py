@@ -121,3 +121,48 @@ def test_evolve_on_table_and_align(spark, tmp_path):
     assert dict((f.name, f.dataType.simpleString()) for f in t.schema.fields)[
         "sr_hz"
     ] == "string"
+
+
+def test_cdc_with_schema_evolution_mid_stream(spark, tmp_path):
+    """The reference's scenario matrix mutates the source schema
+    between CDC batches (ALTER TABLE ... MODIFY COLUMN id_int BIGINT +
+    new column, mysql_test_util.go:170): the destination must evolve
+    (promote + add) and keep merging. Full flow: backfill → CDC batch
+    with evolved schema → evolve + align + MERGE → verify."""
+    from olake_spark.fixtures.audio_clips import cdc_batch
+    from olake_spark.operators.merge import merge_into
+
+    t = Table.create(
+        spark, str(tmp_path / "tbl"), "audio_clips", FULL_SCHEMA,
+        identifier_fields=["_olake_id"],
+    )
+    t.commit_append(t.write_datafiles(generate_clips(spark, 60, partitions=2)))
+
+    # evolved CDC batch: sr_hz widened int→bigint, new speaker_id col
+    batch = (
+        cdc_batch(spark, 60, 1, updates=6, deletes=3, inserts=2)
+        .withColumn("sr_hz", F.col("sr_hz").cast("bigint"))
+        .withColumn("speaker_id", F.concat(F.lit("spk_"), F.col("clip_id")))
+    )
+    diff = ev.evolve(t, batch.schema)
+    assert diff.promotions == {"sr_hz": (ev.INT32, ev.INT64)}
+    assert [f.name for f in diff.new_columns] == ["speaker_id"]
+
+    aligned = ev.align_batch(batch, t.schema)
+    merge_into(t, aligned)
+
+    got = t.scan()
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)[
+        "sr_hz"
+    ] == "bigint"
+    # old rows: null speaker_id; merged rows carry it
+    n_del = batch.filter("_op_type = 'd'").count()
+    assert got.count() == 60 - n_del + 2
+    assert got.filter(F.col("speaker_id").isNotNull()).count() == 6 + 2
+    # and the audio invariant still holds on surviving rows
+    from olake_spark.functions.audio import VERIFY_SCHEMA, verify_batch
+
+    rep = got.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec").mapInPandas(
+        lambda it: (verify_batch(p) for p in it), schema=VERIFY_SCHEMA
+    )
+    assert rep.filter("NOT snr_ok").count() == 0

@@ -125,3 +125,31 @@ def test_windowed_event_stats_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_cdc_stream_merge_json_landing(spark, tmp_path):
+    """JSON-record landing (the reference's decoded WAL/binlog shape):
+    binary payloads base64-encoded, timestamps as strings — stream
+    drain must align and merge identically to the parquet path."""
+    t = _mk_table(spark, str(tmp_path / "tbl"))
+    landing = str(tmp_path / "landing_json")
+    os.makedirs(landing)
+    batch = cdc_batch(spark, BASE_N, 1, updates=5, deletes=2, inserts=3)
+    (
+        batch.withColumn("bytes", F.base64("bytes"))
+        .withColumn("_cdc_timestamp", F.col("_cdc_timestamp").cast("string"))
+        .withColumn("_olake_timestamp", F.col("_olake_timestamp").cast("string"))
+        .coalesce(1)
+        .write.json(os.path.join(landing, "batch1"))
+    )
+    prog = cdc_stream_merge(t, landing, str(tmp_path / "ckpt_json"), fmt="json")
+    assert prog["rows"] == batch.count()
+
+    n_del = batch.filter("_op_type = 'd'").count()
+    got = t.scan()
+    assert got.count() == BASE_N - n_del + 3
+    # payload survived the base64 round trip bit-exactly
+    ins = batch.filter("_op_type = 'c'").select("clip_id", "bytes").collect()
+    for r in ins:
+        stored = got.filter(F.col("clip_id") == r["clip_id"]).select("bytes").first()
+        assert bytes(stored["bytes"]) == bytes(r["bytes"])
