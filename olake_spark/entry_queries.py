@@ -464,11 +464,12 @@ def exact_dedup(spark, sf_dir):
 
 _MINHASH_K = 4
 _SHINGLE = 8
+_SHINGLE_STEP = 2  # stride-2 w-shingling: half the hashes, same MinHash math
 
 
 def _minhash_spark_expr(j: int) -> str:
     return (
-        f"array_min(transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)), "
+        f"array_min(transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1), {_SHINGLE_STEP}), "
         f"i -> md5(concat('{j}|', substring(text, i, {_SHINGLE}))))) AS sig{j}"
     )
 
@@ -476,7 +477,7 @@ def _minhash_spark_expr(j: int) -> str:
 def _minhash_duck_expr(j: int) -> str:
     return (
         f"list_aggregate([md5('{j}|' || substr(text, CAST(i AS INTEGER), {_SHINGLE})) "
-        f"for i in range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1)], 'min') AS sig{j}"
+        f"for i in range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1, {_SHINGLE_STEP})], 'min') AS sig{j}"
     )
 
 
