@@ -153,3 +153,43 @@ def test_cdc_stream_merge_json_landing(spark, tmp_path):
     for r in ins:
         stored = got.filter(F.col("clip_id") == r["clip_id"]).select("bytes").first()
         assert bytes(stored["bytes"]) == bytes(r["bytes"])
+
+
+def test_stateful_cursor_tracker_accumulates(spark, tmp_path):
+    """applyInPandasWithState cursor tracker: state persists across
+    micro-batches within a run — the streaming analog of the
+    reference's running max cursor (incremental.go:149-159)."""
+    from olake_spark.streaming.stateful import track_cursor_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    b1 = cdc_batch(spark, BASE_N, 1, updates=10)
+    _land(b1, landing, "batch1")
+
+    src = (
+        spark.readStream.schema(CLIP_SCHEMA + ", _olake_id string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    tracked = track_cursor_stream(
+        src.withColumn("stream_name", F.lit("audio_clips")),
+        "stream_name",
+        "unix_micros(_cdc_timestamp)",
+    )
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("cursors")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table("cursors").collect()
+    assert rows, "tracker emitted nothing"
+    last = max(rows, key=lambda r: r["n_rows"])
+    exp_max = b1.selectExpr("max(unix_micros(_cdc_timestamp))").first()[0]
+    assert last["stream"] == "audio_clips"
+    assert last["max_cursor"] == exp_max
+    assert last["n_rows"] == b1.count()
