@@ -92,8 +92,8 @@ def cmd_check(cfg: dict) -> dict:
             "cdc_merge", "merge", "compact", "cluster", "rewrite_manifests", "expire"
         ):
             errors.append(f"unknown op {s.get('op')!r}")
-        if s.get("op") == "cdc_merge" and not s.get("source_dir"):
-            errors.append("cdc_merge requires source_dir")
+        if s.get("op") in ("cdc_merge", "merge") and not s.get("source_dir"):
+            errors.append(f"{s.get('op')} requires source_dir")
     if not os.path.isdir(cfg.get("table", "")):
         errors.append(f"table location not found: {cfg.get('table')}")
     if errors:

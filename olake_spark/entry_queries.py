@@ -208,14 +208,18 @@ def json_flatten(spark, sf_dir):
 
 _MERGE_SQL = """
     WITH source AS (
-        SELECT o_orderkey AS key, round(o_totalprice * 1.1, 2) AS new_price, 'u' AS op
+        SELECT o_orderkey AS key,
+               CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)), 2)
+                    AS DECIMAL(12,2)) AS new_price,
+               'u' AS op
         FROM orders WHERE o_orderkey % 7 = 0
         UNION ALL
         SELECT o_orderkey, NULL, 'd'
         FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
     )
     SELECT coalesce(t.o_orderkey, s.key) AS key,
-           CASE WHEN s.op = 'u' THEN s.new_price ELSE t.o_totalprice END AS final_price,
+           CASE WHEN s.op = 'u' THEN s.new_price
+                ELSE CAST(t.o_totalprice AS DECIMAL(12,2)) END AS final_price,
            coalesce(s.op, 'r') AS op
     FROM orders t FULL OUTER JOIN source s ON t.o_orderkey = s.key
     WHERE s.op IS NULL OR s.op <> 'd'
@@ -226,16 +230,26 @@ _MERGE_SQL = """
 def merge_upsert(spark, sf_dir):
     """J1: equality-delete upsert as a sort-merge full-outer join —
     source wins, op 'd' removes the key
-    (BaseDeltaTaskWriter.java:49-61; north-rule sort-merge mandate)."""
+    (BaseDeltaTaskWriter.java:49-61; north-rule sort-merge mandate).
+
+    Price math is done in DECIMAL on both engines with an EXPLICIT
+    round: double `round` is engine-dependent on the repr of the
+    binary double (Spark rounds the shortest decimal repr HALF_UP,
+    DuckDB rounds the binary value) and diverges by one cent on ~1e-4
+    of rows; a bare decimal downcast is also unsafe (DuckDB truncates
+    where Spark rounds). decimal round is HALF_UP on both."""
     o = _t(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
     upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
         F.col("o_orderkey").alias("key"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+        F.round(price_dec * F.lit("1.1").cast("decimal(3,2)"), 2)
+        .cast("decimal(12,2)")
+        .alias("new_price"),
         F.lit("u").alias("op"),
     )
     dels = o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)).select(
         F.col("o_orderkey").alias("key"),
-        F.lit(None).cast("double").alias("new_price"),
+        F.lit(None).cast("decimal(12,2)").alias("new_price"),
         F.lit("d").alias("op"),
     )
     src = upd.unionAll(dels).alias("s")
@@ -246,7 +260,7 @@ def merge_upsert(spark, sf_dir):
     ).select(
         F.coalesce(F.col("t.o_orderkey"), F.col("s.key")).alias("key"),
         F.when(F.col("s.op") == "u", F.col("s.new_price"))
-        .otherwise(F.col("t.o_totalprice"))
+        .otherwise(F.col("t.o_totalprice").cast("decimal(12,2)"))
         .alias("final_price"),
         F.coalesce(F.col("s.op"), F.lit("r")).alias("op"),
     )
@@ -569,28 +583,51 @@ _JACCARD_SQL = """
 @_register("ngram_jaccard", _JACCARD_SQL)
 def ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: strided 12-char shingles, exact set
-    overlap for same-source candidate pairs (blocking keeps it
-    O(pairs-in-block), not O(n²))."""
+    overlap for same-source candidate pairs.
+
+    Scale-safe blocking: candidates must satisfy |Δn_chars| ≤ 10, so
+    docs are banded by `floor(n_chars/10)` and the self-join runs as
+    TWO equi-joins on (source, band) — same band, and band vs band+1 —
+    which Catalyst plans as shuffled hash/sort-merge joins keyed on the
+    band. A length-window pair can never span more than adjacent bands,
+    so coverage is exact; the |Δ| ≤ 10 check survives only as a cheap
+    post-join filter, never the join carrier. Within one giant source
+    this is O(pairs-per-10-char-band), not O(n² within source)."""
     d = _t(spark, sf_dir, "documents")
     grams = d.selectExpr(
         "doc_id",
         "source",
         "n_chars",
+        "CAST(floor(n_chars / 10) AS INT) AS band",
         "array_distinct(transform(sequence(1, greatest(length(text) - 11, 1), 7), "
         "i -> substring(text, i, 12))) AS g",
-    )
+    ).localCheckpoint(eager=False)
     a, b = grams.alias("a"), grams.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
-    )
-    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.g"), F.col("b.g"))))
-    return pairs.select(
+    close = F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10
+    same = a.join(
+        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.band") == F.col("b.band"))
+    ).filter(close & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
+        F.col("a.g").alias("ga"),
+        F.col("b.g").alias("gb"),
+    )
+    adj = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & ((F.col("a.band") + 1) == F.col("b.band")),
+    ).filter(close).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        F.col("a.g").alias("ga"),
+        F.col("b.g").alias("gb"),
+    )
+    pairs = same.unionAll(adj)
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_distinct(F.concat(F.col("ga"), F.col("gb"))))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
         F.round(inter.cast("double") / union, 6).alias("jaccard"),
     )
 

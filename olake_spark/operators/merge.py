@@ -121,7 +121,14 @@ def merge_into(
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
 
     target_file_size = target_file_size or table.target_file_size
-    src = dedup_batch(source, key)
+    # materialize the deduped batch ONCE: the source is scanned a single
+    # time (the checkpoint), and the three consumers — file pruning,
+    # the merge join, and the row count — all read the materialized
+    # blocks instead of re-running the dedup window per action.
+    src = dedup_batch(source, key).localCheckpoint(eager=True)
+    src_rows = src.count()  # cheap: counts checkpointed blocks
+    if src_rows == 0:
+        return {"skipped": True, "snapshot_id": None, "source_rows": 0}
 
     affected = affected_file_paths(table, src.select(key), key)
     entry_by_path = {e.path: e for e in table.entries()}
@@ -144,7 +151,6 @@ def merge_into(
     # size the output: surviving target bytes + source contribution
     aff_bytes = sum(e.file_size_bytes for e in aff_entries)
     aff_rows = sum(e.record_count for e in aff_entries) or 1
-    src_rows = src.count()
     est_bytes = aff_bytes + int(src_rows * (aff_bytes / aff_rows)) if aff_bytes else max(src_rows, 1) * 4096
     n_files = max(1, math.ceil(est_bytes / target_file_size))
 

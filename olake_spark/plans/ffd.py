@@ -62,7 +62,9 @@ class _LeftmostRoomTree:
             i //= 2
 
     def leftmost_with(self, need: int) -> int | None:
-        if self.tree[1] < need:
+        # n == 0 guard: with no bins the root max is 0, so a zero-size
+        # item would otherwise "find" nonexistent leaf 0
+        if self.n == 0 or self.tree[1] < need:
             return None
         i = 1
         while i < self.cap:

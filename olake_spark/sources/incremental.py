@@ -62,8 +62,12 @@ def read_incremental(
     advances nothing."""
     st = lineage.metrics(STAGE).get(unit, {})
     last = st.get("cursor")
-    delta = df.filter(cursor_predicate(cursor_col, last))
-    # one distributed pass computes both the batch max and feeds process
+    # materialize the delta ONCE (localCheckpoint): the source is
+    # scanned a single time, and both the cursor max and process() read
+    # that one snapshot — rows arriving between two separate scans of a
+    # live source can no longer be processed-but-not-cursored (which
+    # would re-deliver them next pass).
+    delta = df.filter(cursor_predicate(cursor_col, last)).localCheckpoint(eager=True)
     new_max_row = delta.agg(F.max(cursor_col).alias("m")).first()
     new_max = new_max_row["m"] if new_max_row else None
     if new_max is None:  # nothing new

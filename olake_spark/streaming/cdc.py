@@ -89,10 +89,13 @@ def cdc_stream_merge(
     progress = {"batches": 0, "rows": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
+        # one scan of the batch: merge_into checkpoints the deduped
+        # source and reports its row count — no pre-count pass here
+        # (rows therefore counts post-dedup winners, one per key).
+        m = merge_into(table, batch_df, key=key)
+        n = int(m.get("source_rows") or 0)
         if n == 0:
             return
-        merge_into(table, batch_df, key=key)
         progress["batches"] += 1
         progress["rows"] += n
 

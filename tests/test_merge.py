@@ -152,6 +152,29 @@ class TestMerge:
             assert r["transcript"] == transcript_for(i)
 
 
+class TestSingleSourceScan:
+    def test_merge_scans_source_batch_once(self, spark, merged_table):
+        """The CDC merge path must read the source batch exactly once:
+        dedup is checkpointed, and file pruning / the join / the row
+        count all consume the materialized blocks. An accumulator-
+        ticking UDF on a carried column counts row evaluations — more
+        than one pass would tick ≥ 2× the batch size (the round-1 code
+        ticked ~3×: dedup re-ran for count(), pruning, and the join)."""
+        acc = spark.sparkContext.accumulator(0)
+
+        def tick(t):
+            acc.add(1)
+            return t
+
+        tick_udf = F.udf(tick, "string")
+        batch = cdc_batch(spark, BASE_N, batch_no=8, updates=10, deletes=3, inserts=2)
+        probed = batch.withColumn("transcript", tick_udf(F.col("transcript")))
+        n_batch = batch.count()
+        m = merge_into(merged_table, probed)
+        assert m["source_rows"] == n_batch
+        assert 0 < acc.value <= n_batch
+
+
 class TestAnalyticRangeOutput:
     def test_merge_output_files_have_tight_disjoint_bounds(self, spark, merged_table):
         """The analytic hex-prefix fanout must produce files whose

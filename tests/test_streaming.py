@@ -48,8 +48,17 @@ def test_cdc_stream_merge_applies_batches(spark, tmp_path):
     _land(b1, landing, "batch1")
     _land(b2, landing, "batch2")
 
-    prog = cdc_stream_merge(t, landing, str(tmp_path / "ckpt"))
-    assert prog["rows"] == b1.count() + b2.count()
+    # one landed file per micro-batch → deterministic per-batch winners
+    prog = cdc_stream_merge(t, landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    # rows counts post-dedup winners (one per key per batch) — the
+    # merge path scans each batch exactly once, so there is no raw
+    # pre-dedup count anymore
+    exp = (
+        b1.select("_olake_id").distinct().count()
+        + b2.select("_olake_id").distinct().count()
+    )
+    assert prog["batches"] == 2
+    assert prog["rows"] == exp
 
     # oracle: apply the union as one deduped batch (order-free by design
     # — commit seq is total, iceberg.go:234-266)

@@ -22,7 +22,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}" if v == v and abs(v) < 1e15 else repr(v)
+        # full-precision repr: the driver's gate hashes exact values, so
+        # the local gate must too (%.6g silently hid cent-level drift on
+        # 6-digit prices — that is how round 1 shipped a red cell).
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
