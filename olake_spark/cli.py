@@ -42,8 +42,8 @@ JOB_SPEC = {
                 "properties": {
                     "op": {
                         "enum": [
-                            "cdc_merge", "merge", "compact", "cluster",
-                            "rewrite_manifests", "expire",
+                            "cdc_merge", "merge", "merge_mor", "fold_deletes",
+                            "compact", "cluster", "rewrite_manifests", "expire",
                         ]
                     },
                     "source_dir": {"type": "string"},
@@ -89,10 +89,11 @@ def cmd_check(cfg: dict) -> dict:
     errors = []
     for s in cfg.get("stages", []):
         if s.get("op") not in (
-            "cdc_merge", "merge", "compact", "cluster", "rewrite_manifests", "expire"
+            "cdc_merge", "merge", "merge_mor", "fold_deletes",
+            "compact", "cluster", "rewrite_manifests", "expire",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
-        if s.get("op") in ("cdc_merge", "merge") and not s.get("source_dir"):
+        if s.get("op") in ("cdc_merge", "merge", "merge_mor") and not s.get("source_dir"):
             errors.append(f"{s.get('op')} requires source_dir")
     if not os.path.isdir(cfg.get("table", "")):
         errors.append(f"table location not found: {cfg.get('table')}")
@@ -177,6 +178,17 @@ def cmd_sync(cfg: dict) -> dict:
         elif op == "merge":
             src = spark.read.parquet(s["source_dir"])
             r = merge_into(t, src, lineage=lin, stage=stage_id)
+        elif op == "merge_mor":
+            from olake_spark.operators.merge import merge_mor
+
+            src = spark.read.parquet(s["source_dir"])
+            r = merge_mor(t, src, lineage=lin, stage=stage_id)
+        elif op == "fold_deletes":
+            from olake_spark.operators.merge import fold_deletes
+
+            r = fold_deletes(
+                t, target_file_size=s.get("target_size"), lineage=lin, stage=stage_id
+            )
         elif op == "cdc_merge":
             r = cdc_stream_merge(
                 t,

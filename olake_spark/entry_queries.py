@@ -266,6 +266,68 @@ def merge_upsert(spark, sf_dir):
     )
 
 
+@_register("merge_mor", _MERGE_SQL)
+def merge_mor(spark, sf_dir):
+    """J1 merge-on-read: the reference's real write path — equality-
+    delete file + data file per batch, scan-time anti-join
+    (BaseDeltaTaskWriter.java:49-61, IcebergTableOperator.java:280-321).
+
+    Builds a real table from `orders`, applies the SAME CDC batch as
+    `merge_upsert` via merge_mor (O(batch) write — nothing rewritten),
+    and returns the post-merge scan. Shares `merge_upsert`'s oracle:
+    the two write modes must hash-identically after the scan resolves
+    the deletes."""
+    import tempfile
+
+    from olake_spark.operators.merge import merge_mor as mor_op
+    from olake_spark.table.table import Table
+
+    loc = tempfile.mkdtemp(prefix="olake_mor_q_")
+    schema = (
+        "key bigint, final_price decimal(12,2), _op_type string, "
+        "_cdc_timestamp timestamp, _olake_timestamp timestamp"
+    )
+    t = Table.create(
+        spark,
+        f"{loc}/tbl",
+        "orders_mor",
+        schema,
+        identifier_fields=["key"],
+        properties={"stats.columns": '["key"]'},
+    )
+    o = _t(spark, sf_dir, "orders")
+    ts0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    ts1 = F.lit("2026-01-02 00:00:00").cast("timestamp")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("final_price"),
+        F.lit("r").alias("_op_type"),
+        ts0.alias("_cdc_timestamp"),
+        ts0.alias("_olake_timestamp"),
+    )
+    t.commit_append(t.write_datafiles(base, range_partition_cols=["key"], num_groups=4))
+
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.round(price_dec * F.lit("1.1").cast("decimal(3,2)"), 2)
+        .cast("decimal(12,2)")
+        .alias("final_price"),
+        F.lit("u").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    dels = o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.lit(None).cast("decimal(12,2)").alias("final_price"),
+        F.lit("d").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    mor_op(t, upd.unionAll(dels), key="key")
+    return t.scan().select("key", "final_price", F.col("_op_type").alias("op"))
+
+
 @_register(
     "set_except",
     """

@@ -27,9 +27,11 @@ Scale design:
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from olake_spark.plans.lineage import LineageManifest
@@ -65,9 +67,10 @@ def dedup_batch(source: DataFrame, key: str = "_olake_id") -> DataFrame:
 
 
 def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[str]:
-    """Manifest-bounds pruning: files whose [min,max] range for ``key``
-    contains any source key. Entries without bounds are always affected."""
-    entries = table.entries()
+    """Manifest-bounds pruning: DATA files whose [min,max] range for
+    ``key`` contains any source key. Entries without bounds are always
+    affected; equality-delete files are never rewrite targets here."""
+    entries = table.data_entries()
     rows, unbounded = [], []
     for e in entries:
         lo, hi = e.lower_bounds.get(key), e.upper_bounds.get(key)
@@ -131,7 +134,7 @@ def merge_into(
         return {"skipped": True, "snapshot_id": None, "source_rows": 0}
 
     affected = affected_file_paths(table, src.select(key), key)
-    entry_by_path = {e.path: e for e in table.entries()}
+    entry_by_path = {e.path: e for e in table.data_entries()}
     aff_entries = [entry_by_path[p] for p in affected]
     target_sub = table.scan(entries=aff_entries)
 
@@ -199,5 +202,132 @@ def merge_into(
             bytes_=metrics["written_bytes"],
             snapshot_id=snap.snapshot_id,
         )
+        lineage.set_stage_snapshot(stage, snap.snapshot_id)
+    return metrics
+
+
+def merge_mor(
+    table: Table,
+    source: DataFrame,
+    key: str = "_olake_id",
+    lineage: LineageManifest | None = None,
+    stage: str = "merge-mor",
+) -> dict:
+    """Merge-on-read: the reference's ACTUAL write path — one equality-
+    delete file + one data file per batch, deletes resolved by readers
+    (BaseDeltaTaskWriter.java:49-61 delete-then-insert; delete-file
+    registration IcebergTableOperator.java:280-321).
+
+    Commit cost is O(batch) bytes — no target files are read or
+    rewritten, which is the mode that keeps a trickle of CDC cheap on a
+    100 TB table (copy-on-write rewrites every affected file per
+    batch). The scan-side anti-join lives in ``Table.scan``; sequence
+    numbers make the delete apply only to data committed BEFORE this
+    batch, so the batch's own rows survive. Periodically fold with
+    ``fold_deletes`` to keep read amplification bounded.
+
+    Result-equivalent to ``merge_into`` on the same batches (pytest +
+    the merge_mor/merge_upsert oracle pair assert scan equality).
+    """
+    if lineage is not None and lineage.stage_complete(stage):
+        return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
+
+    src = dedup_batch(source, key).localCheckpoint(eager=True)
+    src_rows = src.count()
+    if src_rows == 0:
+        return {"skipped": True, "snapshot_id": None, "source_rows": 0}
+
+    # upsert = delete old version + insert new: EVERY source key goes in
+    # the delete file; only non-'d' winners land in the data file
+    del_entries = table.write_datafiles(
+        src.select(key).distinct(), content="deletes", sort_within=[key]
+    )
+    live = src.filter(F.coalesce(F.col("_op_type"), F.lit("")) != F.lit("d")).select(
+        *[f.name for f in table.schema.fields]
+    )
+    data_entries = table.write_datafiles(live, sort_within=[key])
+    snap = table.commit_append(
+        del_entries + data_entries,
+        summary={"source-rows": src_rows, "mode": "merge-on-read"},
+    )
+    metrics = {
+        "snapshot_id": snap.snapshot_id,
+        "source_rows": src_rows,
+        "delete_files": len(del_entries),
+        "written_files": len(data_entries),
+        "written_rows": sum(e.record_count for e in data_entries),
+        "written_bytes": sum(
+            e.file_size_bytes for e in del_entries + data_entries
+        ),
+    }
+    if lineage is not None:
+        lineage.plan(stage, {"merge-mor": {"source_rows": src_rows}})
+        lineage.mark_done(
+            stage,
+            "merge-mor",
+            files=metrics["written_files"],
+            rows=metrics["written_rows"],
+            bytes_=metrics["written_bytes"],
+            snapshot_id=snap.snapshot_id,
+        )
+        lineage.set_stage_snapshot(stage, snap.snapshot_id)
+    return metrics
+
+
+def fold_deletes(
+    table: Table,
+    target_file_size: int | None = None,
+    lineage: LineageManifest | None = None,
+    stage: str = "fold-deletes",
+) -> dict:
+    """Compaction step that folds equality-delete files into the data:
+    rewrite only data files whose key bounds overlap a delete key (same
+    manifest-bounds pruning as the CoW merge), drop all delete files in
+    one replace commit. After folding, scans are delete-free again.
+
+    Reference parity: Iceberg's rewrite-data-files maintenance that the
+    MoR write path relies on; the reference schedules it out-of-band.
+    """
+    if lineage is not None and lineage.stage_complete(stage):
+        return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
+    dels = table.delete_entries()
+    if not dels:
+        return {"skipped": True, "delete_files": 0}
+    key = (table.meta.identifier_fields or ["_olake_id"])[0]
+    target_file_size = target_file_size or table.target_file_size
+
+    key_schema = T.StructType([next(f for f in table.schema.fields if f.name == key)])
+    del_keys = table.spark.read.schema(key_schema).parquet(
+        *[os.path.join(table.location, e.path) for e in dels]
+    )
+    affected = affected_file_paths(table, del_keys, key)
+    entry_by_path = {e.path: e for e in table.data_entries()}
+    aff_entries = [entry_by_path[p] for p in affected]
+
+    new_entries: list = []
+    if aff_entries:
+        # scan applies the deletes; only affected files are read + rewritten
+        survivors = table.scan(entries=aff_entries)
+        aff_bytes = sum(e.file_size_bytes for e in aff_entries) or 1
+        n_files = max(1, math.ceil(aff_bytes / target_file_size))
+        new_entries = table.write_datafiles(
+            survivors, range_partition_cols=[key], num_groups=n_files
+        )
+    snap = table.commit_replace(
+        set(affected) | {e.path for e in dels},
+        new_entries,
+        operation="fold-deletes",
+        summary={"folded-delete-files": len(dels), "rewritten-files": len(affected)},
+    )
+    metrics = {
+        "snapshot_id": snap.snapshot_id,
+        "delete_files": len(dels),
+        "rewritten_files": len(affected),
+        "written_files": len(new_entries),
+        "written_rows": sum(e.record_count for e in new_entries),
+    }
+    if lineage is not None:
+        lineage.plan(stage, {"fold": {"deletes": len(dels)}})
+        lineage.mark_done(stage, "fold", snapshot_id=snap.snapshot_id)
         lineage.set_stage_snapshot(stage, snap.snapshot_id)
     return metrics

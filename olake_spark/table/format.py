@@ -43,8 +43,14 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("lower_bounds", pa.string()),  # JSON {col: value}
         pa.field("upper_bounds", pa.string()),
         pa.field("added_snapshot_id", pa.int64()),
+        # "data" | "deletes" — equality-delete files for merge-on-read
+        # (Iceberg content enum parity; BaseDeltaTaskWriter.java:49-61)
+        pa.field("content", pa.string()),
     ]
 )
+
+CONTENT_DATA = "data"
+CONTENT_DELETES = "deletes"
 
 
 @dataclass
@@ -56,6 +62,7 @@ class DataFileEntry:
     lower_bounds: dict
     upper_bounds: dict
     added_snapshot_id: int = 0
+    content: str = CONTENT_DATA
 
     def to_row(self) -> dict:
         d = asdict(self)
@@ -73,6 +80,8 @@ class DataFileEntry:
             lower_bounds=json.loads(r["lower_bounds"] or "{}"),
             upper_bounds=json.loads(r["upper_bounds"] or "{}"),
             added_snapshot_id=int(r.get("added_snapshot_id") or 0),
+            # manifests written before the MoR feature have no column
+            content=r.get("content") or CONTENT_DATA,
         )
 
 

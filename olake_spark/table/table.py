@@ -127,6 +127,12 @@ class Table:
             return []
         return fmt.read_manifests(self.location, snap.manifests)
 
+    def data_entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
+        return [e for e in self.entries(snapshot_id) if e.content != fmt.CONTENT_DELETES]
+
+    def delete_entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
+        return [e for e in self.entries(snapshot_id) if e.content == fmt.CONTENT_DELETES]
+
     def live_paths(self, snapshot_id: int | None = None) -> set[str]:
         return {e.path for e in self.entries(snapshot_id)}
 
@@ -136,19 +142,79 @@ class Table:
         self,
         snapshot_id: int | None = None,
         entries: list[DataFileEntry] | None = None,
+        apply_deletes: bool = True,
     ) -> DataFrame:
         """Snapshot-isolated read: resolve the file list at plan time.
 
         Filters/projections applied by the caller on the returned
         DataFrame still push down to the parquet scans (Catalyst sees a
         plain multi-file parquet relation).
+
+        Merge-on-read: when the snapshot carries equality-delete files
+        (merge_mor), data rows are anti-joined against the delete keys
+        at scan time — a delete with sequence D kills rows from data
+        files with sequence < D only (rows committed WITH the delete
+        survive, matching Iceberg equality-delete sequencing and
+        BaseDeltaTaskWriter.java:49-61's delete-then-insert upsert).
+        ``entries`` restricts which DATA files are read; the snapshot's
+        delete files always apply (so a pruned CoW rewrite of a MoR
+        table still sees post-delete rows).
         """
         if entries is None:
             entries = self.entries(snapshot_id)
-        paths = [os.path.join(self.location, e.path) for e in entries]
+        data = [e for e in entries if e.content != fmt.CONTENT_DELETES]
+        paths = [os.path.join(self.location, e.path) for e in data]
         if not paths:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*paths)
+        df = self.spark.read.schema(self.schema).parquet(*paths)
+        dels = self.delete_entries(snapshot_id) if apply_deletes else []
+        if not dels:
+            return df
+        return self._anti_join_deletes(df, data, dels)
+
+    def _anti_join_deletes(
+        self,
+        df: DataFrame,
+        data: list[DataFileEntry],
+        dels: list[DataFileEntry],
+    ) -> DataFrame:
+        """Scan-side application of equality deletes.
+
+        Sequence numbers ride in via a tiny broadcast (file name → the
+        entry's added_snapshot_id; Spark part-file names are unique per
+        write job) joined on ``_metadata.file_path``, so the big data
+        scan stays ONE multi-file parquet relation — no per-file union.
+        The anti-join itself is an equi-join on the equality key with
+        the strict sequence comparison as a residual condition: shuffled
+        on the key, never a nested loop; delete files are tiny relative
+        to data, so Catalyst broadcasts that side at runtime (AQE).
+        """
+        key_cols = self.meta.identifier_fields or ["_olake_id"]
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+        seq_rows = [(os.path.basename(e.path), e.added_snapshot_id) for e in data]
+        seq_df = self.spark.createDataFrame(seq_rows, "__fname string, __seq long")
+        df = (
+            df.withColumn("__fname", fname)
+            .join(F.broadcast(seq_df), "__fname", "left")
+            .drop("__fname")
+        )
+
+        del_paths = [os.path.join(self.location, e.path) for e in dels]
+        dseq_rows = [(os.path.basename(e.path), e.added_snapshot_id) for e in dels]
+        dseq_df = self.spark.createDataFrame(dseq_rows, "__fname string, __dseq long")
+        key_schema = T.StructType([f for f in self.schema.fields if f.name in key_cols])
+        del_df = (
+            self.spark.read.schema(key_schema)
+            .parquet(*del_paths)
+            .withColumn("__fname", fname)
+            .join(F.broadcast(dseq_df), "__fname")
+            .select(*[F.col(c).alias(f"__d_{c}") for c in key_cols], "__dseq")
+        )
+        cond = F.col("__seq") < F.col("__dseq")
+        for c in key_cols:
+            cond = cond & (F.col(c) == F.col(f"__d_{c}"))
+        return df.join(del_df, cond, "left_anti").drop("__seq")
 
     def pruned_entries(
         self,
@@ -182,6 +248,7 @@ class Table:
         sort_within: list[str] | None = None,
         record_partition_from_dir: bool = False,
         range_partition_cols: list[str] | None = None,
+        content: str = fmt.CONTENT_DATA,
     ) -> list[DataFileEntry]:
         """Distributed write into data/<uuid>/; returns manifest entries.
 
@@ -220,7 +287,11 @@ class Table:
                 d = os.path.relpath(os.path.dirname(p), out_dir)
                 partition = "" if d == "." else d
             files.append((p, partition))
-        return stats_mod.harvest(self.location, files, self.stats_cols)
+        entries = stats_mod.harvest(self.location, files, self.stats_cols)
+        if content != fmt.CONTENT_DATA:
+            for e in entries:
+                e.content = content
+        return entries
 
     # ------------------------------------------------------------ commits
 

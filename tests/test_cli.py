@@ -34,7 +34,8 @@ def test_spec_lists_all_ops():
     spec = cli.cmd_spec({})
     ops = spec["properties"]["stages"]["items"]["properties"]["op"]["enum"]
     assert set(ops) == {
-        "cdc_merge", "merge", "compact", "cluster", "rewrite_manifests", "expire"
+        "cdc_merge", "merge", "merge_mor", "fold_deletes",
+        "compact", "cluster", "rewrite_manifests", "expire",
     }
 
 
