@@ -101,6 +101,54 @@ def filter_pushdown(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
+def _tuple_scan_sqls() -> tuple[str, str]:
+    """Chunk-id assignment from the SAME rendered lexicographic
+    comparisons on both engines — the renderer (sources/jdbc.py,
+    pkg/jdbc/jdbc.go:231-256 semantics) is the thing under test.
+    Boundaries tie on the first column so the multi-column expansion
+    is genuinely exercised."""
+    from olake_spark.sources.jdbc import tuple_cmp_sql
+
+    cols = ["o_orderstatus", "o_orderkey"]
+    bounds = [("F", 3000), ("O", 1500), ("P", 750)]
+    plain = lambda c: c  # noqa: E731 — valid identifier on both engines
+    ges = [tuple_cmp_sql(cols, b, ">=", plain) for b in bounds]
+    chunk_id = "CAST(" + " + ".join(
+        f"(CASE WHEN {g} THEN 1 ELSE 0 END)" for g in ges
+    ) + " AS INT)"
+    inner = (
+        f"SELECT {chunk_id} AS chunk_id, o_orderkey FROM orders"
+    )
+    sql = (
+        f"SELECT chunk_id, count(*) AS n_rows, min(o_orderkey) AS min_key, "
+        f"max(o_orderkey) AS max_key FROM ({inner}) GROUP BY chunk_id"
+    )
+    return chunk_id, sql
+
+
+_TUPLE_CHUNK_EXPR, _TUPLE_SCAN_SQL = _tuple_scan_sqls()
+
+
+@_register("tuple_range_scan", _TUPLE_SCAN_SQL)
+def tuple_range_scan(spark, sf_dir):
+    """S3: multi-column PK tuple-range chunking — half-open
+    lexicographic ranges over (o_orderstatus, o_orderkey) rendered to
+    dialect predicates (pkg/jdbc/jdbc.go:231-256) and executed as
+    chunk assignment + per-chunk stats. The identical predicate
+    strings feed spark.read.jdbc(predicates=[...]) against a real
+    database (sources/jdbc.py read_jdbc_chunked)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.selectExpr(f"{_TUPLE_CHUNK_EXPR} AS chunk_id", "o_orderkey")
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 @_register(
     "incremental_cursor",
     """
