@@ -250,6 +250,97 @@ def json_flatten(spark, sf_dir):
     )
 
 
+@_register(
+    "raw_layout",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           md5(CAST(o_orderkey AS VARCHAR)) AS _olake_id,
+           'r' AS _op_type
+    FROM orders WHERE o_orderkey % 19 = 0
+    """,
+)
+def raw_layout(spark, sf_dir):
+    """Raw (normalization=false) layout round trip: typed rows → one
+    JSON `data` column + 4 metadata columns (types/data_types.go:55-61
+    RawRecord) → re-normalized against a target schema. The oracle
+    recomputes the expected output directly from `orders`, so any
+    value corruption in the JSON round trip (doubles, ints, strings)
+    breaks the hash."""
+    from olake_spark.table.raw import from_raw, to_raw
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+    raw = to_raw(o, pk_cols=["o_orderkey"])
+    back = from_raw(
+        raw,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "_olake_id", "_op_type"
+    )
+
+
+_DATE_VARIANTS_SPARK = """
+stack(6,
+  'date_only',   date_format(o_orderdate, 'yyyy-MM-dd'),
+  'space_dt',    concat(date_format(o_orderdate, 'yyyy-MM-dd'), ' ', t),
+  'iso_t',       concat(date_format(o_orderdate, 'yyyy-MM-dd'), 'T', t),
+  'iso_micro',   concat(date_format(o_orderdate, 'yyyy-MM-dd'), 'T', t, '.000123'),
+  'no_gate',     concat('junk-', date_format(o_orderdate, 'yyyy-MM-dd')),
+  'gate_no_fmt', concat(date_format(o_orderdate, 'yyyy-MM-dd'), ' garbage')
+) AS (variant, s)
+"""
+
+_DATE_REFORMAT_SQL = """
+    WITH v AS (
+      SELECT o_orderkey, variant, s FROM (
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS d,
+               printf('%02d:%02d:%02d',
+                      o_orderkey % 24, o_custkey % 60, (o_orderkey * 7) % 60) AS t
+        FROM orders WHERE o_orderkey % 31 = 0
+      ), LATERAL (VALUES
+        ('date_only', d),
+        ('space_dt', d || ' ' || t),
+        ('iso_t', d || 'T' || t),
+        ('iso_micro', d || 'T' || t || '.000123'),
+        ('no_gate', 'junk-' || d),
+        ('gate_no_fmt', d || ' garbage')
+      ) AS x(variant, s)
+    )
+    SELECT o_orderkey, variant,
+           CASE WHEN NOT regexp_matches(s, '^[0-9]{1,4}-[0-9]{1,4}-[0-9]{1,4}') THEN NULL
+                ELSE strftime(coalesce(
+                       try_strptime(s, ['%Y-%m-%d', '%Y-%m-%d %H:%M:%S',
+                                        '%Y-%m-%dT%H:%M:%S', '%Y-%m-%dT%H:%M:%S.%f']),
+                       TIMESTAMP '1970-01-01 00:00:00'), '%Y-%m-%d %H:%M:%S')
+           END AS parsed
+    FROM v
+"""
+
+
+@_register("date_reformat", _DATE_REFORMAT_SQL)
+def date_reformat(spark, sf_dir):
+    """C1 hardening: the reference's 12-layout date parser
+    (typeutils/reformat.go:25-38,229-270) as a Catalyst
+    try_to_timestamp cascade — date-pattern gate, first-match-wins,
+    epoch-0 sentinel for gated-but-unparseable strings. Zone-offset
+    layouts + the [1,9999] year clamp are pytest-verified (DuckDB
+    can't express the clamp)."""
+    from olake_spark.functions.reformat import reformat_date
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    v = o.selectExpr(
+        "o_orderkey",
+        "printf('%02d:%02d:%02d', o_orderkey % 24, o_custkey % 60, (o_orderkey * 7) % 60) AS t",
+        "o_orderdate",
+    ).selectExpr("o_orderkey", _DATE_VARIANTS_SPARK)
+    return v.select(
+        "o_orderkey",
+        "variant",
+        F.date_format(reformat_date("s"), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
 # =====================================================================
 # §2.4 joins — the MERGE upsert shape
 # =====================================================================
