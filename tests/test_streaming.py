@@ -164,6 +164,79 @@ def test_cdc_stream_merge_json_landing(spark, tmp_path):
         assert bytes(stored["bytes"]) == bytes(r["bytes"])
 
 
+class TestKafkaBoundedSource:
+    """Option construction + record decoding for the Kafka CDC source
+    (drivers/kafka/internal/cdc.go:54-113) — no broker in the sandbox,
+    so the pure halves are verified and the reader builders stay thin
+    wrappers over spark.read[Stream].format("kafka")."""
+
+    def test_offsets_json_shape(self):
+        from olake_spark.streaming import offsets_json
+
+        s = offsets_json({"clips": {0: 123, 1: -1}, "aux": {0: -2}})
+        import json as _json
+
+        assert _json.loads(s) == {"clips": {"0": 123, "1": -1}, "aux": {"0": -2}}
+
+    def test_build_options_bounded(self):
+        from olake_spark.streaming import build_kafka_options
+
+        opts = build_kafka_options(
+            "broker1:9092,broker2:9092",
+            ["clips", "aux"],
+            starting_offsets={"clips": {0: 5, 1: 7}, "aux": {0: -2}},
+            ending_offsets={"clips": {0: 100, 1: 200}, "aux": {0: -1}},
+            group_id_prefix="olake",
+            max_offsets_per_trigger=10_000,
+        )
+        assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+        assert opts["subscribe"] == "clips,aux"
+        assert opts["failOnDataLoss"] == "false"
+        assert opts["groupIdPrefix"] == "olake"
+        assert opts["maxOffsetsPerTrigger"] == "10000"
+        import json as _json
+
+        assert _json.loads(opts["startingOffsets"])["clips"] == {"0": 5, "1": 7}
+        # the captured end-offset map, exactly as cdc.go:98-106 bounds
+        # each partition
+        assert _json.loads(opts["endingOffsets"])["clips"] == {"0": 100, "1": 200}
+
+    def test_decode_cdc_records_round_trip(self, spark):
+        """A Kafka value payload (JSON, bytes base64) decodes to the
+        same table-shaped rows the JSONL landing path produces."""
+        from olake_spark.streaming import decode_cdc_records
+
+        batch = cdc_batch(spark, 32, 1, updates=4, deletes=2, inserts=1)
+        schema = batch.schema
+        wire = batch.select(
+            F.to_json(
+                F.struct(
+                    *[
+                        F.base64(c).alias(c) if c == "bytes" else F.col(c)
+                        for c in batch.columns
+                    ]
+                )
+            ).cast("binary").alias("value"),
+            F.lit(None).cast("binary").alias("key"),
+            F.lit("clips").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+        )
+        decoded = decode_cdc_records(wire, schema)
+        # same names+types (nullability relaxes through JSON)
+        assert decoded.schema.simpleString() == schema.simpleString()
+        orig = {r["_olake_id"]: r for r in batch.collect()}
+        got = decoded.collect()
+        assert len(got) == len(orig)
+        for r in got:
+            o = orig[r["_olake_id"]]
+            assert bytes(r["bytes"] or b"") == bytes(o["bytes"] or b"")
+            assert r["transcript"] == o["transcript"]
+            assert r["_op_type"] == o["_op_type"]
+            assert r["_cdc_timestamp"] == o["_cdc_timestamp"]
+
+
 def test_stateful_cursor_tracker_accumulates(spark, tmp_path):
     """applyInPandasWithState cursor tracker: state persists across
     micro-batches within a run — the streaming analog of the
