@@ -184,16 +184,51 @@ def evolve(table, batch_schema: T.StructType, allow_refresh: bool = False):
 
     Mirrors the EVOLVE_SCHEMA path: skip no-op commits
     (IcebergTableOperator.java:96-109); raise on refresh-required
-    unless allow_refresh (then the LCA type wins wholesale)."""
-    diff = diff_schemas(table.schema, batch_schema)
-    if diff.refresh_required and not allow_refresh:
+    unless allow_refresh. A refresh-level change (the LCA is neither
+    the stored type nor a parquet-readable widening, e.g.
+    int → string) REWRITES the existing data files cast to the new
+    schema and flips the schema in the same atomic commit — Spark's
+    parquet reader only tolerates int→long / float→double widenings,
+    so a metadata-only flip would leave every old file unreadable
+    (the reference escalates exactly this case to a full resync,
+    iceberg.go:428-439)."""
+
+    def resolve(current: T.StructType) -> SchemaDiff:
+        d = diff_schemas(current, batch_schema)
+        if allow_refresh:
+            d.promotions.update(d.refresh_required)
+            d.refresh_required = {}
+        return d
+
+    diff = resolve(table.schema)
+    if diff.refresh_required:
         raise RefreshRequired(str(diff.refresh_required))
-    if allow_refresh:
-        diff.promotions.update(diff.refresh_required)
-        diff.refresh_required = {}
     if diff.is_noop:
         return diff
-    table.update_schema(evolved_schema(table.schema, diff))
+    needs_rewrite = allow_refresh and any(
+        (old, new) not in _ALLOWED_PROMOTIONS for old, new in diff.promotions.values()
+    )
+    new_schema = evolved_schema(table.schema, diff)
+    old_entries = table.data_entries() if needs_rewrite else []
+    if old_entries:
+        casted = align_batch(table.scan(), new_schema)
+        new_entries = table.write_datafiles(casted)
+        removed = {e.path for e in old_entries} | {
+            e.path for e in table.delete_entries()
+        }
+        table.commit_replace(
+            removed,
+            new_entries,
+            operation="refresh-schema",
+            summary={"refreshed-columns": list(diff.promotions)},
+            schema_json=new_schema.json(),
+        )
+    else:
+        # metadata-only: re-derive the diff against the refreshed
+        # schema on every retry (no lost concurrent schema commits)
+        table.update_schema(
+            new_schema, rebuild=lambda cur: evolved_schema(cur, resolve(cur))
+        )
     return diff
 
 

@@ -307,9 +307,13 @@ class Table:
             summary=summary,
         )
 
-    def _commit(self, build_snapshot, validate=None) -> Snapshot:
+    def _commit(self, build_snapshot, validate=None, schema_json: str | None = None) -> Snapshot:
         """Optimistic commit loop: build against current meta, attempt
-        version write, on loss refresh + re-validate + rebuild."""
+        version write, on loss refresh + re-validate + rebuild.
+        ``schema_json`` swaps the table schema in the SAME metadata
+        version as the snapshot — a refresh-level evolve rewrites data
+        files and flips the schema atomically (no window where readers
+        see new files under the old schema)."""
         last_err: Exception | None = None
         for attempt in range(COMMIT_RETRIES + 1):
             if validate is not None:
@@ -319,7 +323,7 @@ class Table:
                 table_uuid=self.meta.table_uuid,
                 name=self.meta.name,
                 location=self.meta.location,
-                schema_json=self.meta.schema_json,
+                schema_json=schema_json or self.meta.schema_json,
                 identifier_fields=self.meta.identifier_fields,
                 partition_spec=self.meta.partition_spec,
                 properties=self.meta.properties,
@@ -356,6 +360,7 @@ class Table:
         added: list[DataFileEntry],
         operation: str = "replace",
         summary: dict | None = None,
+        schema_json: str | None = None,
     ) -> Snapshot:
         """Atomic swap: removed data files out, new files in.
 
@@ -400,18 +405,37 @@ class Table:
             s.update(summary or {})
             return t._next_snapshot(operation, manifests, s)
 
-        return self._commit(build, validate=validate)
+        return self._commit(build, validate=validate, schema_json=schema_json)
 
-    def update_schema(self, new_schema: T.StructType) -> None:
+    def update_schema(self, new_schema: T.StructType, rebuild=None) -> None:
         """Metadata-only schema commit (no new snapshot) — the
         EVOLVE_SCHEMA path (iceberg.go:380-460). Optimistic like data
-        commits: losers refresh and reapply onto the newer version."""
+        commits: a loser refreshes and RE-DERIVES the schema against
+        the winner's version instead of re-writing its own stale
+        schema verbatim (which would silently revert a concurrent
+        writer's column — a lost update).
+
+        ``rebuild(current_schema) -> new_schema`` recomputes the
+        change per attempt (evolve passes its diff re-application);
+        without it, retries union-by-name merge the requested schema
+        onto the refreshed one (requested types win per column,
+        columns unique to either side survive)."""
+        requested = new_schema
         for attempt in range(COMMIT_RETRIES + 1):
+            current = self.schema
+            if rebuild is not None:
+                target = rebuild(current)
+            elif attempt == 0:
+                target = requested
+            else:
+                want = {f.name: f for f in requested.fields}
+                merged = [want.pop(f.name, f) for f in current.fields]
+                target = T.StructType(merged + list(want.values()))
             new_meta = TableMetadata(
                 table_uuid=self.meta.table_uuid,
                 name=self.meta.name,
                 location=self.meta.location,
-                schema_json=new_schema.json(),
+                schema_json=target.json(),
                 identifier_fields=self.meta.identifier_fields,
                 partition_spec=self.meta.partition_spec,
                 properties=self.meta.properties,

@@ -116,11 +116,46 @@ def test_evolve_on_table_and_align(spark, tmp_path):
             ]
         )
         ev.evolve(t, bad)
-    # allow_refresh escalates: sr_hz becomes string
+    # allow_refresh escalates: sr_hz becomes string AND the existing
+    # data files are rewritten so the table stays readable (a
+    # metadata-only flip would make every old parquet file throw
+    # SchemaColumnConvertNotSupported on scan)
     ev.evolve(t, bad, allow_refresh=True)
     assert dict((f.name, f.dataType.simpleString()) for f in t.schema.fields)[
         "sr_hz"
     ] == "string"
+    scanned = t.scan()
+    assert scanned.count() == 30
+    assert scanned.filter(F.col("sr_hz").rlike("^[0-9]+$")).count() == 30
+    assert t.meta.snapshot().operation == "refresh-schema"
+
+
+def test_refresh_evolve_on_empty_table_is_metadata_only(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "tbl"), "x", "a int", identifier_fields=[])
+    snap_count = len(t.meta.snapshots)
+    ev.evolve(t, T.StructType([T.StructField("a", T.StringType(), True)]), allow_refresh=True)
+    assert t.schema["a"].dataType.simpleString() == "string"
+    assert len(t.meta.snapshots) == snap_count  # no rewrite commit needed
+
+
+def test_concurrent_schema_updates_merge_not_lost(spark, tmp_path):
+    """Two writers evolving different columns: the retry loser must
+    re-derive against the winner's schema, not revert it (the round-1
+    code re-wrote the stale schema verbatim — a lost update)."""
+    loc = str(tmp_path / "tbl")
+    t1 = Table.create(spark, loc, "x", FULL_SCHEMA, identifier_fields=["_olake_id"])
+    t2 = Table.load(spark, loc)
+
+    t1.update_schema(
+        T.StructType(t1.schema.fields + [T.StructField("col_a", T.StringType(), True)])
+    )
+    # t2 still holds the pre-col_a meta: its first attempt loses the
+    # version race and must merge onto t1's committed schema
+    t2.update_schema(
+        T.StructType(t2.schema.fields + [T.StructField("col_b", T.LongType(), True)])
+    )
+    final = [f.name for f in Table.load(spark, loc).schema.fields]
+    assert "col_a" in final and "col_b" in final
 
 
 def test_cdc_with_schema_evolution_mid_stream(spark, tmp_path):
