@@ -341,6 +341,53 @@ def date_reformat(spark, sf_dir):
     )
 
 
+@_register(
+    "geo_wkt",
+    """
+    SELECT o_orderkey,
+           'POINT (' || CAST(o_orderkey % 360 - 180 AS VARCHAR) || ' '
+                     || CAST(o_custkey % 180 - 90 AS VARCHAR) || ')' AS wkt
+    FROM orders WHERE o_orderkey % 41 = 0
+    """,
+)
+def geo_wkt(spark, sf_dir):
+    """C4: WKB → WKT reformat (reformat.go:506-539). SRID-prefixed WKB
+    points are packed from order keys (pandas UDF), then decoded by
+    the from-scratch WKB reader; the oracle builds the expected WKT
+    strings independently in SQL, so the full pack→decode round trip
+    is value-checked."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from olake_spark.functions.geo import wkb_to_wkt
+
+    # note: no type annotations — PEP-563 strings in this module break
+    # pandas_udf's signature inference
+    @pandas_udf("binary")
+    def pack_point(x, y):
+        return pd.Series(
+            [
+                _struct.pack("<I", 4326)
+                + b"\x01"
+                + _struct.pack("<I", 1)
+                + _struct.pack("<dd", float(a), float(b))
+                for a, b in zip(x, y)
+            ]
+        )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    wkb = o.select(
+        "o_orderkey",
+        pack_point(
+            (F.col("o_orderkey") % 360 - 180).cast("int"),
+            (F.col("o_custkey") % 180 - 90).cast("int"),
+        ).alias("geo"),
+    )
+    return wkb.select("o_orderkey", wkb_to_wkt("geo").alias("wkt"))
+
+
 # =====================================================================
 # §2.4 joins — the MERGE upsert shape
 # =====================================================================
