@@ -63,11 +63,17 @@ def _rewrite_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFi
     plan_df = table.spark.createDataFrame(rows, f"__file string, {FANOUT_COL} int")
     binned = df.join(F.broadcast(plan_df), "__file", "inner").drop("__file")
     key = table.meta.identifier_fields[0] if table.meta.identifier_fields else None
+    # per-file roll budget from observed bytes/row (W4): a bin whose
+    # input stats underestimated its size still rolls at the target
+    tot_bytes = sum(e.file_size_bytes for e in src_entries)
+    tot_rows = sum(e.record_count for e in src_entries) or 1
+    roll_rows = max(1, int(max(b.capacity for b in bins) / max(1.0, tot_bytes / tot_rows)))
     new_entries = table.write_datafiles(
         binned,
         fanout_col=FANOUT_COL,
         num_groups=len(bins),
         sort_within=[key] if key else None,
+        max_records_per_file=roll_rows,
     )
     # a rewrite must carry every input row — abort BEFORE the replace
     # commit if the plan join dropped anything (path normalization bugs

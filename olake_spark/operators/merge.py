@@ -154,8 +154,12 @@ def merge_into(
     # size the output: surviving target bytes + source contribution
     aff_bytes = sum(e.file_size_bytes for e in aff_entries)
     aff_rows = sum(e.record_count for e in aff_entries) or 1
-    est_bytes = aff_bytes + int(src_rows * (aff_bytes / aff_rows)) if aff_bytes else max(src_rows, 1) * 4096
+    bytes_per_row = (aff_bytes / aff_rows) if aff_bytes else 4096.0
+    est_bytes = aff_bytes + int(src_rows * bytes_per_row) if aff_bytes else max(src_rows, 1) * 4096
     n_files = max(1, math.ceil(est_bytes / target_file_size))
+    # W4 roll enforcement: even a mis-estimated or skewed output group
+    # starts a new file at the target row budget
+    roll_rows = max(1, int(target_file_size / bytes_per_row))
 
     # range-partitioned output keeps per-file key bounds tight (the
     # next merge prunes well). For the md5 identifier the key space is
@@ -172,10 +176,14 @@ def merge_into(
             fanout_col="__rid",
             num_groups=n_files,
             sort_within=[key],
+            max_records_per_file=roll_rows,
         )
     else:
         new_entries = table.write_datafiles(
-            merged, range_partition_cols=[key], num_groups=n_files
+            merged,
+            range_partition_cols=[key],
+            num_groups=n_files,
+            max_records_per_file=roll_rows,
         )
     snap = table.commit_replace(
         set(affected),

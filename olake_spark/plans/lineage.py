@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -25,6 +26,8 @@ class LineageManifest:
     def __init__(self, path: str, job_id: str):
         self.path = path
         self.job_id = job_id
+        # chunk readers may mark units from concurrent job threads
+        self._lock = threading.Lock()
         self.state: dict = {"job_id": job_id, "stages": {}}
         if os.path.exists(path):
             with open(path) as f:
@@ -78,18 +81,19 @@ class LineageManifest:
         **extra,
     ) -> None:
         """Checkpoint #2: unit complete, metrics + commit recorded."""
-        st = self._stage(stage)
-        prior = st["completed"].get(unit_id)
-        st["completed"][unit_id] = {
-            "files": files,
-            "rows": rows,
-            "bytes": bytes_,
-            "attempt_id": (prior["attempt_id"] + 1) if prior else 1,
-            "snapshot_id": snapshot_id,
-            "ts_ms": int(time.time() * 1000),
-            **extra,
-        }
-        self._save()
+        with self._lock:
+            st = self._stage(stage)
+            prior = st["completed"].get(unit_id)
+            st["completed"][unit_id] = {
+                "files": files,
+                "rows": rows,
+                "bytes": bytes_,
+                "attempt_id": (prior["attempt_id"] + 1) if prior else 1,
+                "snapshot_id": snapshot_id,
+                "ts_ms": int(time.time() * 1000),
+                **extra,
+            }
+            self._save()
 
     def stage_snapshot(self, stage: str) -> int | None:
         return self._stage(stage)["snapshot_id"]

@@ -249,6 +249,7 @@ class Table:
         record_partition_from_dir: bool = False,
         range_partition_cols: list[str] | None = None,
         content: str = fmt.CONTENT_DATA,
+        max_records_per_file: int | None = None,
     ) -> list[DataFileEntry]:
         """Distributed write into data/<uuid>/; returns manifest entries.
 
@@ -261,25 +262,39 @@ class Table:
         instead — each output file covers a tight key range, so the
         min/max manifest stats stay selective for future MERGE/scan
         pruning (one file ≈ one Iceberg sort-order cluster).
+
+        max_records_per_file: per-file ROLL enforcement (W4, the
+        reference's rolling size-targeted writer) — the partitioning
+        above targets the file size by plan estimate; this option has
+        the parquet writer start a new file when a task exceeds the
+        row budget, so one skewed/underestimated group can never
+        produce an arbitrarily large file.
         """
         commit_dir = uuid.uuid4().hex
         out_dir = os.path.join(self.location, "data", commit_dir)
+
+        def _sink(w_df):
+            w = w_df.write
+            if max_records_per_file:
+                w = w.option("maxRecordsPerFile", int(max_records_per_file))
+            return w
+
         writer = df
         if fanout_col is not None:
             n = num_groups or self.spark.sparkContext.defaultParallelism
             writer = df.repartition(n, F.col(fanout_col))
             if sort_within:
                 writer = writer.sortWithinPartitions(fanout_col, *sort_within)
-            writer.write.partitionBy(fanout_col).parquet(out_dir)
+            _sink(writer).partitionBy(fanout_col).parquet(out_dir)
         elif range_partition_cols:
             n = num_groups or self.spark.sparkContext.defaultParallelism
             cols = [F.col(c) for c in range_partition_cols]
             writer = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-            writer.write.parquet(out_dir)
+            _sink(writer).parquet(out_dir)
         else:
             if sort_within:
                 writer = writer.sortWithinPartitions(*sort_within)
-            writer.write.parquet(out_dir)
+            _sink(writer).parquet(out_dir)
         files: list[tuple[str, str]] = []
         for p in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
             partition = ""

@@ -57,3 +57,18 @@ def test_read_chunked_resume(spark, tmp_path):
     r2 = read_chunked(df, "k", chunks, lineage=lin, process=process)
     assert r2["processed"] == 0 and r2["skipped"] == 2
     assert len(seen) == 2
+
+
+def test_read_chunked_parallel_waves(spark, tmp_path):
+    """max_parallel submits chunk jobs from concurrent driver threads:
+    same totals, same per-chunk lineage, every chunk exactly once."""
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    chunks = [Chunk(i, i * 50, None if i == 7 else (i + 1) * 50) for i in range(8)]
+    lin = LineageManifest(str(tmp_path / "lin.json"), "jobp")
+    r = read_chunked(df, "k", chunks, lineage=lin, max_parallel=4)
+    assert r == {"chunks": 8, "processed": 8, "skipped": 0, "rows": 400}
+    assert len(lin.metrics("backfill")) == 8
+    assert all(m["rows"] == 50 for m in lin.metrics("backfill").values())
+    # resume after the parallel run is still a no-op
+    r2 = read_chunked(df, "k", chunks, lineage=lin, max_parallel=4)
+    assert r2["processed"] == 0 and r2["skipped"] == 8

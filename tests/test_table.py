@@ -125,3 +125,13 @@ class TestTable:
         for e in clips_table.entries():
             assert not os.path.isabs(e.path)
             assert os.path.exists(os.path.join(clips_table.location, e.path))
+
+    def test_rolling_writer_enforces_max_records_per_file(self, spark, tmp_table_dir):
+        """W4: the size-targeted writer ROLLS to a new file at the row
+        budget even when the plan put everything in one group."""
+        t = Table.create(spark, tmp_table_dir, "roll", FULL_SCHEMA, identifier_fields=["_olake_id"])
+        df = generate_clips(spark, 100, partitions=1)
+        entries = t.write_datafiles(df, max_records_per_file=30)
+        assert len(entries) >= 4  # 100 rows / 30-row budget
+        assert all(e.record_count <= 30 for e in entries)
+        assert sum(e.record_count for e in entries) == 100
