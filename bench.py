@@ -81,7 +81,7 @@ def run_maintenance(spark, n_clips: int, workdir: str) -> dict:
     from olake_spark.operators.compaction import compact
     from olake_spark.operators.expire import expire_snapshots
     from olake_spark.operators.manifests import rewrite_manifests
-    from olake_spark.operators.merge import merge_into
+    from olake_spark.operators.merge import fold_deletes, merge_into, merge_mor
     from olake_spark.table.table import Table
 
     loc = os.path.join(workdir, "audio_table")
@@ -148,6 +148,27 @@ def run_maintenance(spark, n_clips: int, workdir: str) -> dict:
     )
     merge_into(table, src)
     stages["maint_merge"] = time.monotonic() - t0
+
+    # merge-on-read: a second CDC batch lands as delete+data files
+    # (O(batch) write), then fold_deletes compacts them back in — the
+    # reference's actual write path plus its maintenance counterpart
+    t0 = time.monotonic()
+    src2 = cdc_batch(
+        spark,
+        base_n=per,
+        batch_no=2,
+        updates=max(per // 40, 10),
+        deletes=max(per // 80, 5),
+        inserts=max(per // 80, 5),
+    ).withColumn("clip_id", F.concat(F.lit("w1_"), F.col("clip_id"))).withColumn(
+        "_olake_id", F.md5(F.col("clip_id"))
+    )
+    merge_mor(table, src2)
+    stages["maint_merge_mor"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    fold_deletes(table)
+    stages["maint_fold_deletes"] = time.monotonic() - t0
 
     # PCM s16le size is derivable from metadata -> the boundary sample
     # pass never touches the binary column
@@ -229,6 +250,16 @@ def main_default() -> None:
     log(f"== query bench @ {sf_dir} local[{cpus}] ==")
     q = bench_queries(spark, sf_dir)
 
+    # ANN quality gate alongside the timings: avg recall@5 of the
+    # multi-probe IVF search vs the exact baseline (target ≥ 0.9)
+    from olake_spark.entry_queries import QUERIES as _Q
+
+    recall_rows = _Q["ann_recall"](spark, sf_dir).collect()
+    ann_recall = round(
+        sum(r["recall_at_5"] for r in recall_rows) / max(len(recall_rows), 1), 4
+    )
+    log(f"  ann_recall_at_5 = {ann_recall}")
+
     log("== maintenance pipeline ==")
     n_clips = max(int(CLIPS_PER_SF * sf), 2_000)
     workdir = bench_workdir("olake_bench_")
@@ -285,6 +316,7 @@ def main_default() -> None:
                     )
                 },
                 "ingest_rps": ingest_rps,
+                "ann_recall_at_5": ann_recall,
             }
         ),
         flush=True,
