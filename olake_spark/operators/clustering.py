@@ -108,6 +108,14 @@ def cluster(
     if lineage is not None and lineage.stage_complete(stage):
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
     target_size = target_size or table.target_file_size
+    # fold live equality deletes first — a clustered rewrite bumps row
+    # sequence numbers past live deletes (resurrection); same contract
+    # as compact()
+    if table.delete_entries():
+        from olake_spark.operators.merge import fold_deletes
+
+        fold_deletes(table, target_file_size=target_size, lineage=lineage,
+                     stage=f"{stage}-prefold")
     entries = table.entries()
     if not entries:
         return {"files": 0}

@@ -96,8 +96,21 @@ def compact(
     stage: str = "compact",
     wave_bins: int = 64,
 ) -> dict:
-    """Compact small files; returns metrics. Resumable per wave."""
+    """Compact small files; returns metrics. Resumable per wave.
+
+    Merge-on-read interaction: rewriting a data file gives its rows a
+    NEW sequence number, which would lift them past any live equality
+    delete (sequence-strict anti-join) and resurrect deleted rows —
+    so live delete files are folded first (`fold_deletes` rewrites
+    exactly the delete-affected files and drops the delete files),
+    then compaction plans against the clean table. Iceberg's
+    rewrite-data-files maintenance has the same ordering contract."""
     target_size = target_size or table.target_file_size
+    if table.delete_entries():
+        from olake_spark.operators.merge import fold_deletes
+
+        fold_deletes(table, target_file_size=target_size, lineage=lineage,
+                     stage=f"{stage}-prefold")
     # resume: execute the PERSISTED plan, never a fresh re-plan — after a
     # partial run the file set has changed and a re-plan would misalign
     # wave ids with completed units (chunk-protocol parity: the chunk set

@@ -68,6 +68,38 @@ def plan_chunks(lo: int, hi: int, rows: int, avg_row_bytes: int,
     return out
 
 
+def plan_time_chunks(
+    start,
+    end,
+    window_s: int,
+) -> list[Chunk]:
+    """S7: timestamp-window split — the Mongo incremental/CDC scan
+    planner that walks fixed time windows over [start, end)
+    (drivers/mongodb/internal: timestamp-bounded change batches).
+    ``start``/``end`` are datetimes (or epoch seconds); each chunk is
+    a half-open [t, t+window) range usable with a timestamp column via
+    ``Chunk.predicate(ts_col)``. The final chunk is open-ended so rows
+    landing after planning still belong to the last unit."""
+    import datetime as _dt
+
+    def _to_dt(v):
+        if isinstance(v, (int, float)):
+            return _dt.datetime.fromtimestamp(v, tz=_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    start, end = _to_dt(start), _to_dt(end)
+    if end <= start or window_s <= 0:
+        return []
+    out: list[Chunk] = []
+    t = start
+    step = _dt.timedelta(seconds=window_s)
+    while t < end:
+        nxt = t + step
+        out.append(Chunk(len(out), t, None if nxt >= end else nxt))
+        t = nxt
+    return out
+
+
 def plan_chunks_by_quantiles(df: DataFrame, col: str, n_chunks: int,
                              rel_err: float = 0.001) -> list[Chunk]:
     """Equal-frequency boundaries via approxQuantile — the declarative

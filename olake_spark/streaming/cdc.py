@@ -119,6 +119,7 @@ def windowed_event_stats(
     ts_col: str = "_cdc_timestamp",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window op-count stream (throughput stats,
     reference A5 destination/writers.go:33-37 — but event-time, which
@@ -128,11 +129,10 @@ def windowed_event_stats(
     an in-memory sink with Trigger.AvailableNow). Late rows beyond the
     watermark are dropped — deterministic under replay.
     """
-    src = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(source_dir)
-    )
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
     return (
         src.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("_op_type"))

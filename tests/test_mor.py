@@ -129,3 +129,27 @@ def test_cow_merge_on_mor_table_sees_deletes(spark, tmp_path):
     got = t.scan()
     assert got.select("_olake_id").distinct().count() == got.count()
     assert got.count() == BASE_N - n_del + len(upd_ids & del_ids)
+
+
+def test_rewrite_operators_fold_deletes_first(spark, tmp_path):
+    """compact/cluster on a table with live delete files must not
+    resurrect deleted rows (a naive rewrite bumps row sequences past
+    the deletes) nor trip the row-count guard — they fold first."""
+    from olake_spark.operators.clustering import cluster
+    from olake_spark.operators.compaction import compact
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_groups=6)
+    batch = cdc_batch(spark, BASE_N, 1, updates=5, deletes=6, inserts=2)
+    merge_mor(t, batch)
+    before = _content_hash(t)
+    assert len(t.delete_entries()) == 1
+
+    compact(t, target_size=1 << 20)
+    assert len(t.delete_entries()) == 0
+    assert _content_hash(t) == before
+
+    merge_mor(t, cdc_batch(spark, BASE_N, 2, deletes=3))
+    before2 = _content_hash(t)
+    cluster(t, curve="zorder", row_weight="length(bytes) + 64")
+    assert len(t.delete_entries()) == 0
+    assert _content_hash(t) == before2

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from olake_spark.plans.lineage import LineageManifest
 from olake_spark.sources.chunked import (
     Chunk,
@@ -72,3 +74,27 @@ def test_read_chunked_parallel_waves(spark, tmp_path):
     # resume after the parallel run is still a no-op
     r2 = read_chunked(df, "k", chunks, lineage=lin, max_parallel=4)
     assert r2["processed"] == 0 and r2["skipped"] == 8
+
+
+def test_plan_time_chunks_windows(spark):
+    """S7: fixed time-window chunks partition a timestamped table
+    exactly; the final chunk is open-ended."""
+    import datetime as dt
+
+    from olake_spark.sources.chunked import plan_time_chunks
+
+    chunks = plan_time_chunks(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8, 12), window_s=2 * 86400
+    )
+    assert len(chunks) == 4
+    assert chunks[0].min == dt.datetime(2024, 1, 1)
+    assert chunks[-1].max is None
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.max == b.min
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo = ev.agg(F.min("ts")).first()[0]
+    hi = ev.agg(F.max("ts")).first()[0]
+    chunks = plan_time_chunks(lo, hi + dt.timedelta(seconds=1), window_s=86400)
+    counts = [ev.filter(c.predicate("ts")).count() for c in chunks]
+    assert sum(counts) == ev.count()
+    assert plan_time_chunks(hi, lo, 60) == []

@@ -275,3 +275,54 @@ def test_stateful_cursor_tracker_accumulates(spark, tmp_path):
     assert last["stream"] == "audio_clips"
     assert last["max_cursor"] == exp_max
     assert last["n_rows"] == b1.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T4 watermark semantics: after the watermark advances past a
+    window, late rows for it are DROPPED (deterministic under replay —
+    the property the reference's wall-clock ticker can't give)."""
+    import datetime as dt
+    import time as _time
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    schema = CLIP_SCHEMA + ", _olake_id string"
+    t0 = dt.datetime(2026, 1, 2, 12, 0, 0)
+
+    def rows(ts, op, n, tag):
+        return [
+            (f"c{tag}{i}", b"", 8000, 40, "pcm_s16le", "t", op, ts, ts, f"id{tag}{i}")
+            for i in range(n)
+        ]
+
+    b1 = spark.createDataFrame(rows(t0, "u", 4, "a"), schema)
+    _land(b1, landing, "batch1")
+    _time.sleep(1.1)  # file source orders micro-batches by mtime
+    late_ts = t0 - dt.timedelta(hours=10)  # far beyond the 2h watermark
+    b2 = spark.createDataFrame(
+        rows(late_ts, "d", 3, "late") + rows(t0 + dt.timedelta(minutes=5), "c", 2, "b"),
+        schema,
+    )
+    _land(b2, landing, "batch2")
+
+    stream_df = windowed_event_stats(
+        spark, landing, schema, window="1 hour", watermark="2 hours",
+        max_files_per_trigger=1,  # one file per micro-batch → the
+        # watermark from batch1 is live when batch2's late row arrives
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("late_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("late_stats").collect()
+    windows = {(r["window_start"], r["_op_type"]) for r in got}
+    # on-time windows present
+    assert (t0.replace(minute=0), "u") in windows
+    assert (t0.replace(minute=0), "c") in windows
+    # the late delete window was dropped by the watermark
+    assert not any(ws == late_ts.replace(minute=0) for ws, _ in windows)
