@@ -114,7 +114,8 @@ def cmd_discover(cfg: dict) -> dict:
     """Table → stream-catalog JSON (the streams.json analog)."""
     spark = _spark(cfg)
     t = _load_table(spark, cfg)
-    entries = t.entries()
+    entries = t.data_entries()
+    dels = t.delete_entries()
     return {
         "streams": [
             {
@@ -125,9 +126,14 @@ def cmd_discover(cfg: dict) -> dict:
                 "partition_spec": t.meta.partition_spec,
                 "sync_modes": ["full_refresh", "cdc"],
                 "stats": {
+                    # data files only: delete manifests mask rows, they
+                    # don't add them (rows here is the pre-delete upper
+                    # bound; exact count requires the scan-side anti-join)
                     "files": len(entries),
                     "rows": sum(e.record_count for e in entries),
                     "bytes": sum(e.file_size_bytes for e in entries),
+                    "delete_files": len(dels),
+                    "pending_delete_keys": sum(e.record_count for e in dels),
                 },
                 "snapshots": [
                     {
