@@ -239,6 +239,14 @@ def merge_mor(
     """
     if lineage is not None and lineage.stage_complete(stage):
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
+    id_key = (table.meta.identifier_fields or [key])[0]
+    if key != id_key:
+        # the scan-side anti-join resolves deletes on the table's
+        # identifier fields — a delete file keyed differently would be
+        # silently ignored at read time
+        raise ValueError(
+            f"merge_mor key {key!r} must be the table identifier field {id_key!r}"
+        )
 
     src = dedup_batch(source, key).localCheckpoint(eager=True)
     src_rows = src.count()
