@@ -1538,3 +1538,157 @@ def audio_synth_stats(spark, sf_dir):
     return clips.mapInPandas(
         stats, schema="clip_id string, sr_hz int, dur_ms int, n_bytes long, rms double"
     )
+
+
+# =====================================================================
+# audio DSP operators (functions/dsp.py): metadata contracts are exact
+# integer arithmetic → DuckDB-oracled; PCM content gated in pytest
+# =====================================================================
+
+_CLIP_META_CTE = """
+    SELECT CAST(range AS BIGINT) AS i,
+           CAST([8000,16000,22050,44100][CAST(range % 4 AS INT) + 1] AS BIGINT) AS sr,
+           CAST(40 + (range * 37) % 361 AS BIGINT) AS dur
+    FROM range(0, {n})
+"""
+
+_RESAMPLE_SQL = f"""
+    WITH clips AS ({_CLIP_META_CTE.format(n=96)}),
+    m AS (SELECT i, sr, greatest(1, (sr * dur) // 1000) AS n_in FROM clips)
+    SELECT printf('clip_%012d', i) AS clip_id,
+           CAST(sr AS INT) AS sr_hz,
+           CAST(n_in AS INT) AS n_in,
+           16000 AS sr_out,
+           CAST(greatest(1, (n_in * 16000) // sr) AS INT) AS n_out
+    FROM m
+"""
+
+
+@_register("audio_resample", _RESAMPLE_SQL)
+def audio_resample(spark, sf_dir):
+    """Distributed linear resampling to a common 16 kHz training rate:
+    decode → ``dsp.resample_linear`` inside mapInPandas (Arrow batches,
+    vectorized numpy — no per-row Python). The emitted sample counts
+    follow the exact integer contract ``max(1, n_in*sr_out//sr_in)``
+    the oracle recomputes from the fixture formulas; waveform fidelity
+    (SNR vs direct synthesis at the target rate) is gated in
+    tests/test_dsp.py."""
+    from olake_spark.fixtures.audio_clips import generate_clips
+    from olake_spark.functions.dsp import RESAMPLE_SCHEMA, resample_stage
+
+    clips = generate_clips(spark, 96, partitions=4)
+    return clips.mapInPandas(resample_stage(16000), schema=RESAMPLE_SCHEMA)
+
+
+_VAD_SQL = f"""
+    WITH clips AS ({_CLIP_META_CTE.format(n=128)}),
+    m AS (
+        SELECT i,
+               greatest(1, (sr * dur) // 1000) // greatest(1, (sr * 20) // 1000) AS nf
+        FROM clips
+    )
+    SELECT printf('clip_%012d', i) AS clip_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(nf - len(list_filter(range(nf), k -> (k + i) % 3 = 0)) AS INT) AS n_active
+    FROM m
+"""
+
+
+@_register("audio_vad", _VAD_SQL)
+def audio_vad(spark, sf_dir):
+    """Energy voice-activity detection over 20 ms frames (-40 dBFS
+    threshold): the gapped fixture zeroes frame k of clip i iff
+    (k+i)%3==0, so the active count is an integer function of (i, sr,
+    dur) that the oracle recomputes with a list comprehension while the
+    Spark path does real framing + RMS on the decoded PCM."""
+    from olake_spark.fixtures.audio_clips import generate_gapped_clips
+    from olake_spark.functions.dsp import VAD_SCHEMA, vad_stage
+
+    clips = generate_gapped_clips(spark, 128, partitions=4)
+    return clips.mapInPandas(vad_stage(frame_ms=20, thresh_dbfs=-40.0), schema=VAD_SCHEMA)
+
+
+_FP_DEDUP_SQL = """
+    SELECT CAST(range AS INT) AS rep_idx, CAST(2 AS BIGINT) AS n_clips
+    FROM range(0, 200)
+"""
+
+
+@_register("audio_fingerprint_dedup", _FP_DEDUP_SQL)
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-duplicate detection via spectral-peak fingerprints
+    (Shazam-style landmarks): 400 clips = 200 waveform groups × 2
+    jittered copies (independent noise, not bit-identical bytes).
+    Fingerprint = top-2 dominant FFT bins → groupBy fingerprint must
+    reconstruct exactly the 200 groups of 2 — the oracle checks both
+    collision-freedom (no merged groups) and jitter robustness (no
+    split groups). Scale path: the groupBy is a hash aggregation on a
+    long key — no pairwise comparisons anywhere."""
+    from olake_spark.fixtures.audio_clips import generate_dup_clips
+    from olake_spark.functions.dsp import FINGERPRINT_SCHEMA, fingerprint_stage
+
+    clips = generate_dup_clips(spark, 200, copies=2, partitions=8)
+    fp = clips.mapInPandas(fingerprint_stage(k=2), schema=FINGERPRINT_SCHEMA)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("group_idx").alias("rep_idx"), F.count("*").alias("n_clips"))
+        .select("rep_idx", "n_clips")
+    )
+
+
+def _vocab_sql_literal() -> str:
+    from olake_spark.fixtures.audio_clips import _VOCAB
+
+    return "[" + ", ".join("'" + w + "'" for w in _VOCAB) + "]"
+
+
+_TRANSCRIPT_QUALITY_SQL = f"""
+    WITH c AS (
+        SELECT CAST(range AS BIGINT) AS i,
+               CAST(40 + (range * 37) % 361 AS BIGINT) AS dur,
+               CAST(3 + (range * 7) % 18 AS BIGINT) AS nw
+        FROM range(0, 360)
+    ), t AS (
+        SELECT i, dur, nw,
+               CAST(length(list_aggregate(list_transform(range(nw),
+                   k -> {{vocab}}[CAST((i * 31 + 7 * k) % 64 AS INT) + 1]),
+                   'string_agg', ' ')) AS BIGINT) AS nc
+        FROM c
+    )
+    SELECT printf('clip_%012d', i) AS clip_id,
+           CAST(nw AS INT) AS n_words,
+           CAST(nc AS INT) AS n_chars,
+           (nc * 1000000) // dur AS cps_milli,
+           (nw * 1000000) // dur AS wps_milli,
+           ((nc * 1000000) // dur) > 30000000 AS too_fast
+    FROM t
+"""
+
+
+@_register("transcript_quality", None)  # SQL installed below (needs vocab literal)
+def transcript_quality(spark, sf_dir):
+    """Audio×text quality scoring: chars/sec and words/sec of the
+    transcript against the clip duration — the alignment-sanity filter
+    a speech training pipeline runs before accepting a (clip,
+    transcript) pair. All JVM-side string/int ops over the generated
+    table (length/split/div — no UDF); ratios are scaled-integer math
+    (milli-chars-per-second) so both engines agree bit-for-bit. The
+    oracle independently reconstructs each transcript from the fixture
+    vocab formula inside SQL."""
+    from olake_spark.fixtures.audio_clips import generate_clips
+
+    clips = generate_clips(spark, 360, partitions=8)
+    nc = "CAST(length(transcript) AS BIGINT)"
+    nw = "CAST(size(split(transcript, ' ')) AS BIGINT)"
+    dur = "CAST(dur_ms AS BIGINT)"
+    return clips.selectExpr(
+        "clip_id",
+        f"CAST({nw} AS INT) AS n_words",
+        f"CAST({nc} AS INT) AS n_chars",
+        f"({nc} * 1000000) div {dur} AS cps_milli",
+        f"({nw} * 1000000) div {dur} AS wps_milli",
+        f"(({nc} * 1000000) div {dur}) > 30000000 AS too_fast",
+    )
+
+
+ORACLES["transcript_quality"] = _TRANSCRIPT_QUALITY_SQL.format(vocab=_vocab_sql_literal())

@@ -98,6 +98,70 @@ def generate_clips(spark: SparkSession, n: int, partitions: int | None = None) -
     return df.withColumn("_olake_id", F.md5(F.col("clip_id")))
 
 
+def generate_gapped_clips(
+    spark: SparkSession, n: int, frame_ms: int = 20, gap_mod: int = 3, partitions: int | None = None
+) -> DataFrame:
+    """Clips with deterministic silence gaps for VAD testing: frame k
+    (non-overlapping ``frame_ms`` windows) of clip i is zeroed iff
+    ``(k + i) % gap_mod == 0``. Active/silent frame counts are therefore
+    pure integer functions of (i, sr, dur) — SQL-oracle reproducible —
+    while the PCM itself carries real tonal content in active frames."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                sr = int(_SR_CHOICES[i % 4])
+                dur = int(40 + (i * 37) % 361)
+                w = synth_waveform(i, sr, dur)
+                frame = max(1, sr * frame_ms // 1000)
+                for k in range(len(w) // frame):
+                    if (k + i) % gap_mod == 0:
+                        w[k * frame:(k + 1) * frame] = 0.0
+                base = clip_row(i)
+                rows.append((base[0], encode_pcm_s16le(w)) + base[2:])
+            yield _rows_to_pdf(rows)
+
+    rng = spark.range(n, numPartitions=partitions) if partitions else spark.range(n)
+    df = rng.mapInPandas(gen, schema=CLIP_SCHEMA)
+    return df.withColumn("_olake_id", F.md5(F.col("clip_id")))
+
+
+DUP_SR_HZ = 16000
+DUP_DUR_MS = 1000
+
+
+def generate_dup_clips(
+    spark: SparkSession, n_groups: int, copies: int = 2, partitions: int | None = None
+) -> DataFrame:
+    """Near-duplicate audio cohort for fingerprint dedup: clip j carries
+    the waveform of group ``j % n_groups`` plus independent low-level
+    jitter (0.005 amplitude, seeded by j) — same audio content, not
+    bit-identical bytes. Fixed (sr, dur) = (16 kHz, 1000 ms) puts every
+    integer-Hz synth tone exactly on the 1 Hz FFT grid, so dominant-peak
+    fingerprints are deterministic under the jitter.
+
+    Schema: ``clip_id string, group_idx int, bytes binary, sr_hz int``.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for j in pdf["id"]:
+                j = int(j)
+                g = j % n_groups
+                w = synth_waveform(g, DUP_SR_HZ, DUP_DUR_MS)
+                jit = np.random.default_rng(2_000_000_011 + j)
+                w = w + 0.005 * jit.standard_normal(w.shape[0])
+                rows.append((f"dup_{j:06d}", g, encode_pcm_s16le(w), DUP_SR_HZ))
+            yield pd.DataFrame(rows, columns=["clip_id", "group_idx", "bytes", "sr_hz"])
+
+    n = n_groups * copies
+    rng = spark.range(n, numPartitions=partitions) if partitions else spark.range(n)
+    return rng.mapInPandas(gen, schema="clip_id string, group_idx int, bytes binary, sr_hz int")
+
+
 def cdc_batch(
     spark: SparkSession,
     base_n: int,
