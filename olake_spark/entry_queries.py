@@ -1692,3 +1692,128 @@ def transcript_quality(spark, sf_dir):
 
 
 ORACLES["transcript_quality"] = _TRANSCRIPT_QUALITY_SQL.format(vocab=_vocab_sql_literal())
+
+
+# =====================================================================
+# time travel + incremental changelog (table/table.py)
+# =====================================================================
+
+
+def _build_mor_history(spark, sf_dir, prefix: str):
+    """Shared fixture for the time-travel / changelog queries: a real
+    table seeded from `orders` (keys %3==0) then MoR-merged with one CDC
+    batch (updates %21==0, deletes %33==0 ∧ %21≠0, inserts key+1e9 for
+    %50==0). Returns (table, first_snapshot_id)."""
+    import tempfile
+
+    from olake_spark.operators.merge import merge_mor as mor_op
+    from olake_spark.table.table import Table
+
+    loc = tempfile.mkdtemp(prefix=prefix)
+    schema = (
+        "key bigint, final_price decimal(12,2), _op_type string, "
+        "_cdc_timestamp timestamp, _olake_timestamp timestamp"
+    )
+    t = Table.create(
+        spark,
+        f"{loc}/tbl",
+        "orders_history",
+        schema,
+        identifier_fields=["key"],
+        properties={"stats.columns": '["key"]'},
+    )
+    o = _t(spark, sf_dir, "orders")
+    ts0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    ts1 = F.lit("2026-01-02 00:00:00").cast("timestamp")
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        price_dec.alias("final_price"),
+        F.lit("r").alias("_op_type"),
+        ts0.alias("_cdc_timestamp"),
+        ts0.alias("_olake_timestamp"),
+    )
+    t.commit_append(t.write_datafiles(base, range_partition_cols=["key"], num_groups=4))
+    snap1 = t.meta.current_snapshot_id
+
+    new_price = (
+        F.round(price_dec * F.lit("1.1").cast("decimal(3,2)"), 2).cast("decimal(12,2)")
+    )
+    upd = o.filter(F.col("o_orderkey") % 21 == 0).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        new_price.alias("final_price"),
+        F.lit("u").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    dels = o.filter((F.col("o_orderkey") % 33 == 0) & (F.col("o_orderkey") % 21 != 0)).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.lit(None).cast("decimal(12,2)").alias("final_price"),
+        F.lit("d").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).cast("bigint").alias("key"),
+        F.lit("1.00").cast("decimal(12,2)").alias("final_price"),
+        F.lit("c").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    mor_op(t, upd.unionAll(dels).unionAll(ins), key="key")
+    return t, snap1
+
+
+@_register(
+    "time_travel",
+    """
+    SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(12,2)) AS final_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def time_travel(spark, sf_dir):
+    """Snapshot time travel: after an MoR merge rewrites history, a
+    scan pinned to the pre-merge snapshot must reproduce the original
+    append bit-for-bit (snapshot isolation for readers — the property
+    the reference's snapshot-isolation tests pin). ``snapshot_as_of``
+    (wall-clock resolution) is covered in tests/test_changelog.py."""
+    t, snap1 = _build_mor_history(spark, sf_dir, "olake_tt_q_")
+    return t.scan(snapshot_id=snap1).select("key", "final_price")
+
+
+_CHANGELOG_SQL = """
+    WITH upd AS (
+        SELECT o_orderkey AS key,
+               CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)), 2)
+                    AS DECIMAL(12,2)) AS final_price
+        FROM orders WHERE o_orderkey % 21 = 0
+    ),
+    dels AS (
+        SELECT o_orderkey AS key FROM orders
+        WHERE o_orderkey % 33 = 0 AND o_orderkey % 21 <> 0
+    ),
+    ins AS (
+        SELECT o_orderkey + 1000000000 AS key, CAST(1.00 AS DECIMAL(12,2)) AS final_price
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT key, CAST(NULL AS DECIMAL(12,2)) AS final_price, 'delete' AS change_type
+    FROM (SELECT key FROM upd UNION SELECT key FROM dels UNION SELECT key FROM ins)
+    UNION ALL
+    SELECT key, final_price, 'insert' FROM upd
+    UNION ALL
+    SELECT key, final_price, 'insert' FROM ins
+"""
+
+
+@_register("changelog_scan", _CHANGELOG_SQL)
+def changelog_scan(spark, sf_dir):
+    """Incremental changelog read: the row-level change stream of the
+    MoR merge commit — every batch key as a 'delete' (the equality-
+    delete file) plus the surviving rows as 'insert's (the data file),
+    i.e. delete+insert per upsert, the standard CDC emission. One
+    multi-file parquet relation per content kind regardless of commit
+    count; Iceberg incremental-append parity."""
+    t, snap1 = _build_mor_history(spark, sf_dir, "olake_cl_q_")
+    return t.changelog(from_snapshot_id=snap1).select(
+        "key", "final_price", F.col("_change_type").alias("change_type")
+    )

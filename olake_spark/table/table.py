@@ -238,6 +238,142 @@ class Table:
             out.append(e)
         return out
 
+    # ------------------------------------------------ time travel / changelog
+
+    def snapshot_as_of(self, timestamp_ms: int):
+        """Time travel by wall clock: the latest snapshot whose commit
+        timestamp is <= ``timestamp_ms`` (Iceberg ``FOR SYSTEM_TIME AS
+        OF`` resolution). Returns None when the table had no snapshot
+        yet at that time. Feed the result's ``snapshot_id`` to
+        ``scan``."""
+        eligible = [s for s in self.meta.snapshots if s.timestamp_ms <= timestamp_ms]
+        if not eligible:
+            return None
+        return max(eligible, key=lambda s: (s.timestamp_ms, s.sequence_number))
+
+    #: snapshot operations whose commits rearrange bytes but preserve
+    #: row content — the changelog skips them
+    DATA_PRESERVING_OPS = {"compact", "fold-deletes", "rewrite-manifests", "refresh-schema"}
+
+    def changelog(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog scan: the row-level change stream
+        committed in ``(from_snapshot_id, to_snapshot_id]`` (exclusive
+        start — pass the last snapshot you already consumed; None means
+        from the beginning / up to current).
+
+        Semantics (Iceberg incremental-append parity):
+        - ``append`` commits → their data files become ``insert`` rows;
+          their equality-delete files become ``delete`` rows (key
+          columns populated, everything else null). A merge-on-read
+          upsert therefore emits delete+insert per key — standard CDC
+          output, and an MoR-maintained table has a fully
+          changelog-able history at O(batch) read cost per commit.
+        - data-preserving maintenance (compact / cluster-* /
+          fold-deletes / rewrite-manifests / refresh-schema) is
+          skipped: bytes moved, rows identical.
+        - copy-on-write overwrites (``merge`` / generic ``replace``)
+          raise: the row diff is not derivable from the file diff.
+
+        Output: table schema + ``_change_type`` ('insert'|'delete') +
+        ``_commit_snapshot_id``. Files must not have been physically
+        removed by ``expire_snapshots`` for the requested range.
+
+        One multi-file parquet relation per content kind regardless of
+        how many commits the range spans; the file→snapshot mapping
+        rides in via a tiny broadcast on ``_metadata.file_path`` (same
+        trick as the MoR scan anti-join).
+        """
+        snaps = sorted(self.meta.snapshots, key=lambda s: s.sequence_number)
+        by_id = {s.snapshot_id: s for s in snaps}
+        lo = -1 if from_snapshot_id is None else by_id[from_snapshot_id].sequence_number
+        hi = (
+            self.meta.snapshot().sequence_number
+            if to_snapshot_id is None
+            else by_id[to_snapshot_id].sequence_number
+        )
+        selected = [s for s in snaps if lo < s.sequence_number <= hi]
+        ins_files: list[DataFileEntry] = []
+        del_files: list[DataFileEntry] = []
+        # manifests are shared across snapshots (commit cost scales with
+        # the change): cache reads by path so walking k snapshots costs
+        # one read per distinct manifest, not k × |manifests|
+        mcache: dict[str, list[DataFileEntry]] = {}
+        for s in selected:
+            op = s.operation
+            if op in self.DATA_PRESERVING_OPS or op.startswith("cluster-"):
+                continue
+            if op != "append":
+                raise ValueError(
+                    f"changelog cannot derive row diffs from a {op!r} commit "
+                    f"(snapshot {s.snapshot_id}); maintain the table with "
+                    "merge-on-read (merge_mor) for a changelog-able history"
+                )
+            for m in s.manifests:
+                if m not in mcache:
+                    mcache[m] = fmt.read_manifest(self.location, m)
+                for e in mcache[m]:
+                    if e.added_snapshot_id != s.snapshot_id:
+                        continue
+                    (del_files if e.content == fmt.CONTENT_DELETES else ins_files).append(e)
+
+        schema = self.schema
+        cols = [f.name for f in schema.fields]
+        out_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_snapshot_id", T.LongType()),
+            ]
+        )
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+        def _tag(entries: list[DataFileEntry], read_schema: T.StructType) -> DataFrame:
+            paths = [os.path.join(self.location, e.path) for e in entries]
+            snap_rows = [(os.path.basename(e.path), e.added_snapshot_id) for e in entries]
+            snap_df = self.spark.createDataFrame(snap_rows, "__fname string, __snap long")
+            return (
+                self.spark.read.schema(read_schema)
+                .parquet(*paths)
+                .withColumn("__fname", fname)
+                .join(F.broadcast(snap_df), "__fname")
+            )
+
+        parts: list[DataFrame] = []
+        if ins_files:
+            df = _tag(ins_files, schema)
+            parts.append(
+                df.select(
+                    *cols,
+                    F.lit("insert").alias("_change_type"),
+                    F.col("__snap").alias("_commit_snapshot_id"),
+                )
+            )
+        if del_files:
+            key_cols = self.meta.identifier_fields or ["_olake_id"]
+            key_schema = T.StructType([f for f in schema.fields if f.name in key_cols])
+            df = _tag(del_files, key_schema)
+            padded = [
+                (F.col(c) if c in key_cols else F.lit(None).cast(schema[c].dataType)).alias(c)
+                for c in cols
+            ]
+            parts.append(
+                df.select(
+                    *padded,
+                    F.lit("delete").alias("_change_type"),
+                    F.col("__snap").alias("_commit_snapshot_id"),
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
     # ------------------------------------------------------------ writes
 
     def write_datafiles(
