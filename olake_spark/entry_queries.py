@@ -50,6 +50,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Distribute CPU-heavy per-row derivations (digest passes, vector
+    math) when the scan carries fewer splits than the cluster has slots
+    — a tiny local benchmark file is one row group → one task, which
+    serializes the whole compute on 1 of N cores while the shuffle to
+    fix it costs sub-megabytes. No-op whenever the input is already at
+    least core-parallel: at production scale multi-file inputs are, and
+    an unconditional repartition would only add a shuffle (or worse,
+    SHRINK an already-wide scan). Apply after scan-level filters so
+    predicate pushdown is unaffected."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # =====================================================================
 # §2.1 sources / chunked scans
 # =====================================================================
@@ -736,31 +753,45 @@ _SHINGLE = 8
 _SHINGLE_STEP = 2  # stride-2 w-shingling: half the hashes, same MinHash math
 
 
+# One md5 per shingle, k hash functions = k disjoint 32-bit lanes of
+# the 128-bit digest (hex substrings; lexicographic min of fixed-width
+# lowercase hex == numeric min on both engines). This is 4× fewer
+# digest computations than a salted per-j family — the digest is the
+# hot cost at scale — with the same MinHash independence guarantees.
+_MINHASH_SHINGLES = (
+    f"transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1), {_SHINGLE_STEP}), "
+    f"i -> md5(substring(text, i, {_SHINGLE})))"
+)
+_MINHASH_SHINGLES_DUCK = (
+    f"[md5(substr(text, CAST(i AS INTEGER), {_SHINGLE})) "
+    f"for i in range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1, {_SHINGLE_STEP})]"
+)
+
+
 def _minhash_spark_expr(j: int) -> str:
-    return (
-        f"array_min(transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1), {_SHINGLE_STEP}), "
-        f"i -> md5(concat('{j}|', substring(text, i, {_SHINGLE}))))) AS sig{j}"
-    )
+    return f"array_min(transform(__H, h -> substring(h, {8 * j + 1}, 8))) AS sig{j}"
 
 
 def _minhash_duck_expr(j: int) -> str:
-    return (
-        f"list_aggregate([md5('{j}|' || substr(text, CAST(i AS INTEGER), {_SHINGLE})) "
-        f"for i in range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1, {_SHINGLE_STEP})], 'min') AS sig{j}"
-    )
+    return f"list_aggregate([substr(h, {8 * j + 1}, 8) for h in H], 'min') AS sig{j}"
 
 
-_MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    _minhash_duck_expr(j) for j in range(_MINHASH_K)
-) + " FROM documents"
+_MINHASH_SQL = (
+    f"SELECT doc_id, {', '.join(_minhash_duck_expr(j) for j in range(_MINHASH_K))} "
+    f"FROM (SELECT doc_id, {_MINHASH_SHINGLES_DUCK} AS H FROM documents)"
+)
 
 
 @_register("minhash_signatures", _MINHASH_SQL)
 def minhash_signatures(spark, sf_dir):
-    """MinHash: k=4 signatures over 8-char shingles (md5-salted hash
-    family) — all computed inside Catalyst `transform`, no explode."""
-    d = _t(spark, sf_dir, "documents")
-    return d.selectExpr(
+    """MinHash: k=4 signatures over strided 8-char shingles — all
+    inside Catalyst `transform`, no explode, ONE md5 per shingle (the
+    k-lane digest split above). The shingle-digest array is projected
+    in a separate select so Catalyst keeps it a single evaluation
+    (CollapseProject declines to duplicate a multiply-referenced
+    non-cheap expression)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return d.selectExpr("doc_id", f"{_MINHASH_SHINGLES} AS __H").selectExpr(
         "doc_id", *[_minhash_spark_expr(j) for j in range(_MINHASH_K)]
     )
 
@@ -868,7 +899,7 @@ def ngram_jaccard(spark, sf_dir):
     so coverage is exact; the |Δ| ≤ 10 check survives only as a cheap
     post-join filter, never the join carrier. Within one giant source
     this is O(pairs-per-10-char-band), not O(n² within source)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     grams = d.selectExpr(
         "doc_id",
         "source",
@@ -910,32 +941,45 @@ def ngram_jaccard(spark, sf_dir):
 _SIMHASH_BITS = 16
 
 
+# token digests are computed ONCE per row in an inner projection; each
+# of the 16 bit-votes then folds over the digest array (the inline form
+# re-hashed every token 16×, once per bit — the digest is the hot cost)
+_SIMHASH_TOKENS_SPARK = "transform(split(trim(text), '\\\\s+'), t -> md5(t))"
+_SIMHASH_TOKENS_DUCK = "[md5(t) for t in regexp_split_to_array(trim(text), '\\s+')]"
+
+
 def _simhash_exprs() -> tuple[str, str]:
     spark_bits, duck_bits = [], []
     for j in range(_SIMHASH_BITS):
         spark_bits.append(
-            f"(CASE WHEN aggregate(split(trim(text), '\\\\s+'), 0, (acc, t) -> acc + "
-            f"(CASE WHEN instr('89abcdef', substring(md5(t), {j + 1}, 1)) > 0 THEN 1 ELSE -1 END)"
+            f"(CASE WHEN aggregate(__D, 0, (acc, h) -> acc + "
+            f"(CASE WHEN instr('89abcdef', substring(h, {j + 1}, 1)) > 0 THEN 1 ELSE -1 END)"
             f") > 0 THEN {1 << j} ELSE 0 END)"
         )
         duck_bits.append(
-            f"(CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(md5(t), {j + 1}, 1)) > 0 "
-            f"THEN 1 ELSE -1 END for t in regexp_split_to_array(trim(text), '\\s+')]) > 0 "
+            f"(CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(h, {j + 1}, 1)) > 0 "
+            f"THEN 1 ELSE -1 END for h in D]) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(spark_bits), " + ".join(duck_bits)
 
 
 _SIMHASH_SPARK, _SIMHASH_DUCK = _simhash_exprs()
-_SIMHASH_SQL = f"SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash FROM documents"
+_SIMHASH_SQL = (
+    f"SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash "
+    f"FROM (SELECT doc_id, {_SIMHASH_TOKENS_DUCK} AS D FROM documents)"
+)
 
 
 @_register("simhash", _SIMHASH_SQL)
 def simhash(spark, sf_dir):
     """SimHash: 16-bit token-majority fingerprint — per-token md5 nibble
-    high-bit votes, folded JVM-side (no Python on the hot path)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.selectExpr("doc_id", f"CAST({_SIMHASH_SPARK} AS BIGINT) AS simhash")
+    high-bit votes, folded JVM-side (no Python on the hot path); one
+    digest per token shared across all 16 bits."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return d.selectExpr("doc_id", f"{_SIMHASH_TOKENS_SPARK} AS __D").selectExpr(
+        "doc_id", f"CAST({_SIMHASH_SPARK} AS BIGINT) AS simhash"
+    )
 
 
 # =====================================================================
@@ -1032,7 +1076,7 @@ _LANGID_SPARK_INNER, _LANGID_SQL = _langid_sqls()
 def lang_id(spark, sf_dir):
     """Language ID heuristic: stopword-hit scoring with deterministic
     argmax tie-break."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.selectExpr(*_LANGID_SPARK_INNER).selectExpr(
         "doc_id", "s_en", f"{_LANGID_PRED} AS pred_lang", "lang"
     )
@@ -1123,7 +1167,7 @@ def lsh_hyperplane_buckets(spark, sf_dir):
     as 2 bands × 4 sign bits, one bucket code per band (banding keeps
     near-neighbor recall high while each band's equi-join stays
     selective)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return e.selectExpr(
         "vec_id",
         "label",
@@ -1149,7 +1193,7 @@ _COS_SQL = """
 def cosine_bruteforce(spark, sf_dir):
     """Brute-force cosine similarity of every vector vs 3 query vectors
     (broadcast nested loop — the exact baseline for ANN)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") <= 2).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -1223,18 +1267,23 @@ def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: multi-band LSH blocking — per band an
     equi-join on the band's bucket code, branches UNIONed (dedup) —
     then exact cosine on candidates only: O(collisions·dim), never
-    O(n²·dim). Norms are precomputed per VECTOR before the self-join,
-    not per pair; the banded+normed projection is materialized once
-    (localCheckpoint) and reused by every branch and both join sides."""
-    b = lsh_hyperplane_buckets(spark, sf_dir).select("vec_id", *_BAND_COLS)
+    O(n²·dim). Norms and band codes are computed per VECTOR in ONE
+    projection over a single scan (no self-join against a second read
+    of the table just to attach buckets); the banded+normed projection
+    is materialized once (localCheckpoint) and reused by every branch
+    and both join sides."""
     nrm = (
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (p, q) -> p + q))"
     )
     e = (
-        _t(spark, sf_dir, "embeddings")
-        .join(b, "vec_id")
-        .selectExpr("vec_id", "embedding", *_BAND_COLS, f"{nrm} AS nrm")
+        _spread(_t(spark, sf_dir, "embeddings"))
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            *[f"{ex} AS {c}" for ex, c in zip(_band_code_exprs(_dot_spark), _BAND_COLS)],
+            f"{nrm} AS nrm",
+        )
         .localCheckpoint(eager=False)
     )
     dot = (
@@ -1297,15 +1346,24 @@ def _ivf_scores_exprs(vec: str = "embedding", centroids=None) -> tuple[str, str]
 
 _IVF_SCORES_SPARK, _IVF_SCORES_DUCK = _ivf_scores_exprs()
 
-# deterministic argmax: array_position finds the FIRST index of the max
-_IVF_ARGMAX_SPARK = (
-    f"CAST(array_position({_IVF_SCORES_SPARK}, array_max({_IVF_SCORES_SPARK})) - 1 AS INTEGER)"
-)
-_IVF_ARGMAX_DUCK = (
-    f"CAST(list_position({_IVF_SCORES_DUCK}, list_aggregate({_IVF_SCORES_DUCK}, 'max')) - 1 AS INTEGER)"
+# deterministic argmax over a score array computed ONCE in an inner
+# projection (the inline form evaluated the 48-centroid scoring twice —
+# once for array_max, once for array_position)
+_IVF_ARGMAX_SPARK = "CAST(array_position(__S, array_max(__S)) - 1 AS INTEGER)"
+_IVF_ARGMAX_DUCK = "CAST(list_position(S, list_aggregate(S, 'max')) - 1 AS INTEGER)"
+
+_IVF_ASSIGN_SQL = (
+    f"SELECT vec_id, label, {_IVF_ARGMAX_DUCK} AS centroid "
+    f"FROM (SELECT vec_id, label, {_IVF_SCORES_DUCK} AS S FROM embeddings)"
 )
 
-_IVF_ASSIGN_SQL = f"SELECT vec_id, label, {_IVF_ARGMAX_DUCK} AS centroid FROM embeddings"
+
+def _ivf_assign_inline(df: DataFrame, *carry: str) -> DataFrame:
+    """Attach the IVF centroid assignment to ``df`` in one pass,
+    carrying the listed columns through."""
+    return df.selectExpr(*carry, f"{_IVF_SCORES_SPARK} AS __S").selectExpr(
+        *carry, f"{_IVF_ARGMAX_SPARK} AS centroid"
+    )
 
 
 @_register("ivf_assign", _IVF_ASSIGN_SQL)
@@ -1314,9 +1372,9 @@ def ivf_assign(spark, sf_dir):
     (the partition/list assignment of an IVF ANN index). The centroid
     matrix rides as one broadcast array literal; the argmax stays
     JVM-side (array_position of array_max — first max wins,
-    deterministic)."""
-    e = _t(spark, sf_dir, "embeddings")
-    return e.selectExpr("vec_id", "label", f"{_IVF_ARGMAX_SPARK} AS centroid")
+    deterministic), over a score array evaluated once per row."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    return _ivf_assign_inline(e, "vec_id", "label")
 
 
 _IVF_TOPK_SQL = f"""
@@ -1357,9 +1415,12 @@ def ivf_topk(spark, sf_dir):
     centroid) pairs are EXPLODED and the candidate step is a plain
     equi-join on centroid id, so cost is (nprobe/k)·n per query and
     the join shape survives any query count. Exact cosine within the
-    probed lists, windowed top-k with total tie-break."""
-    assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid")
-    v = _t(spark, sf_dir, "embeddings").join(assign, "vec_id")
+    probed lists, windowed top-k with total tie-break. The centroid
+    assignment is attached inline on the same scan — no join against a
+    second read of the table."""
+    v = _ivf_assign_inline(
+        _spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding"
+    )
     q = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") <= 2)
