@@ -262,11 +262,28 @@ def main_default() -> None:
 
     log("== maintenance pipeline ==")
     n_clips = max(int(CLIPS_PER_SF * sf), 2_000)
-    workdir = bench_workdir("olake_bench_")
-    try:
-        maint = run_maintenance(spark, n_clips, workdir)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    # repeat + min-reduce: single-shot stage timings on this host swing
+    # 2-4x run-to-run under sustained all-core load (hypervisor noise —
+    # measured identical code at 19s and 49s pipeline on different
+    # occasions); the min is the same noise-floor estimator --scaling
+    # uses. SPARK_GRAFT_MAINT_REPEATS=1 restores the old single run.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_MAINT_REPEATS", "2")))
+    maint = None
+    for _ in range(repeats):
+        workdir = bench_workdir("olake_bench_")
+        try:
+            m = run_maintenance(spark, n_clips, workdir)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        if maint is None:
+            maint = m
+        else:
+            for k, v in m["stages_sec"].items():
+                maint["stages_sec"][k] = min(maint["stages_sec"][k], v)
+            if m["pipeline_sec"] < maint["pipeline_sec"]:
+                for k in m:
+                    if k != "stages_sec":
+                        maint[k] = m[k]
     q.update(maint["stages_sec"])
 
     # small-row replication throughput — the unit the reference
@@ -317,6 +334,7 @@ def main_default() -> None:
                 },
                 "ingest_rps": ingest_rps,
                 "ann_recall_at_5": ann_recall,
+                "maint_repeats": repeats,
             }
         ),
         flush=True,

@@ -17,6 +17,8 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1760,12 +1762,21 @@ ORACLES["transcript_quality"] = _TRANSCRIPT_QUALITY_SQL.format(vocab=_vocab_sql_
 # =====================================================================
 
 
+_MOR_HISTORY_CACHE: dict = {}
+
+
 def _build_mor_history(spark, sf_dir, prefix: str):
     """Shared fixture for the time-travel / changelog queries: a real
     table seeded from `orders` (keys %3==0) then MoR-merged with one CDC
     batch (updates %21==0, deletes %33==0 ∧ %21≠0, inserts key+1e9 for
-    %50==0). Returns (table, first_snapshot_id)."""
+    %50==0). Returns (table, first_snapshot_id). Memoized per (session,
+    sf_dir): both queries read the SAME immutable two-snapshot history,
+    so the second build would be pure duplicated work."""
     import tempfile
+
+    ck = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if ck in _MOR_HISTORY_CACHE:
+        return _MOR_HISTORY_CACHE[ck]
 
     from olake_spark.operators.merge import merge_mor as mor_op
     from olake_spark.table.table import Table
@@ -1822,6 +1833,7 @@ def _build_mor_history(spark, sf_dir, prefix: str):
         ts1.alias("_olake_timestamp"),
     )
     mor_op(t, upd.unionAll(dels).unionAll(ins), key="key")
+    _MOR_HISTORY_CACHE[ck] = (t, snap1)
     return t, snap1
 
 
