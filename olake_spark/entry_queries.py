@@ -347,7 +347,9 @@ def date_reformat(spark, sf_dir):
     can't express the clamp)."""
     from olake_spark.functions.reformat import reformat_date
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    # spread AFTER the modulo filter so the scan-level pushdown is
+    # untouched; the 12-layout parse cascade is the per-row hot cost
+    o = _spread(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0))
     v = o.selectExpr(
         "o_orderkey",
         "printf('%02d:%02d:%02d', o_orderkey % 24, o_custkey % 60, (o_orderkey * 7) % 60) AS t",
@@ -396,7 +398,7 @@ def geo_wkt(spark, sf_dir):
             ]
         )
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    o = _spread(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0))
     wkb = o.select(
         "o_orderkey",
         pack_point(

@@ -79,10 +79,45 @@ AUDITS = {
         ("sort-merge/hash anti (not nested loop)", "!BroadcastNestedLoopJoin"),
     ],
     "date_reformat": [
-        ("layout cascade inside codegen (no UDF)", "[codegen id :"),
+        # AQE-wrapped since the round-2 spread; the cascade is a plain
+        # JVM projection (gettimestamp/regexp), never a Python UDF
+        ("layout cascade is a JVM projection", "Project"),
+        ("date-pattern gate compiled JVM-side", "RLIKE"),
     ],
     "raw_layout": [
         ("JSON round trip JVM-side", "[codegen id :"),
+    ],
+    "minhash_signatures": [
+        # round-2 lane split: ONE digest per shingle, k lanes of it;
+        # AQE wraps the spread plan so codegen ids only appear
+        # post-execution — check the two-stage projection instead
+        ("digest array projected separately from lanes", "Project (3)"),
+        ("single shingle-digest pass (JVM transform)", "md5(cast(substring(text"),
+        ("no shuffle beyond the conditional spread", "!SortMergeJoin"),
+    ],
+    "simhash": [
+        ("token digests projected once, folds reference them", "Project (3)"),
+        ("JVM md5 transform (no UDF)", "md5(cast(lambda"),
+    ],
+    "audio_resample": [
+        ("Arrow-batched mapInPandas stage", "MapInPandas"),
+    ],
+    "audio_fingerprint_dedup": [
+        ("fingerprint grouping is a hash aggregate", "HashAggregate"),
+        ("Arrow-batched mapInPandas decode/FFT", "MapInPandas"),
+        ("no pairwise join anywhere", "!Join Inner"),
+    ],
+    "transcript_quality": [
+        ("string/int metrics inside codegen (no UDF)", "[codegen id :"),
+    ],
+    "time_travel": [
+        # pinned pre-merge snapshot: plain multi-file read, no deletes
+        ("no delete anti-join on the pinned snapshot", "!LeftAnti"),
+        ("parquet relation scan", "Scan parquet"),
+    ],
+    "changelog_scan": [
+        ("file→snapshot map rides a broadcast", "BroadcastHashJoin"),
+        ("insert/delete branches unioned", "Union"),
     ],
 }
 
