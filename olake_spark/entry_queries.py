@@ -1892,3 +1892,53 @@ def changelog_scan(spark, sf_dir):
     return t.changelog(from_snapshot_id=snap1).select(
         "key", "final_price", F.col("_change_type").alias("change_type")
     )
+
+
+_SEGMENTS_SQL = f"""
+    WITH clips AS ({_CLIP_META_CTE.format(n=64)}),
+    m AS (
+        SELECT i, sr,
+               greatest(1, (sr * 20) // 1000) AS frame,
+               greatest(1, (sr * dur) // 1000) // greatest(1, (sr * 20) // 1000) AS nf
+        FROM clips
+    )
+    SELECT printf('clip_%012d', i) AS clip_id,
+           CAST(k AS INT) AS seg_idx,
+           CAST((k * frame * 1000) // sr AS INT) AS start_ms,
+           CAST(frame * 2 AS INT) AS n_bytes
+    FROM m, unnest(range(nf)) AS t(k)
+"""
+
+
+@_register("audio_segments", _SEGMENTS_SQL)
+def audio_segments(spark, sf_dir):
+    """Fixed-window clip chunking for training pipelines: one row per
+    20 ms segment with the PCM slice cut from the raw buffer
+    (row-expansion inside the Arrow batch). The oracle reproduces the
+    per-clip segment fan-out — index, start offset, byte length — from
+    the integer framing contract; byte-identity of the payload slices
+    is asserted in tests/test_dsp.py."""
+    from olake_spark.fixtures.audio_clips import generate_clips
+    from olake_spark.functions.dsp import SEGMENT_SCHEMA, segment_stage
+
+    clips = generate_clips(spark, 64, partitions=4)
+    segs = clips.mapInPandas(segment_stage(frame_ms=20), schema=SEGMENT_SCHEMA)
+    return segs.select("clip_id", "seg_idx", "start_ms", "n_bytes")
+
+
+@_register("ivf_train", None)  # iterative (Lloyd) — no SQL oracle; pytest gates
+def ivf_train(spark, sf_dir):
+    """IVF quantizer TRAINING (operators/kmeans.py): distributed Lloyd
+    iterations — broadcast-literal assign, posexplode+avg update, only
+    the k×dim matrix ever on the driver. Deterministic farthest-point
+    init. Returns the per-iteration convergence history; cluster
+    recovery/purity and trained-beats-seeded list balance are gated in
+    tests/test_kmeans.py (iterative ⇒ rows-only driver check)."""
+    from olake_spark.operators.kmeans import train_centroids
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    _, hist = train_centroids(e, k=16, vec_col="embedding", iters=4, tol=0.0)
+    return spark.createDataFrame(
+        [(h["iter"], h["nonempty"], round(h["max_shift"], 2)) for h in hist],
+        "iter int, nonempty int, max_shift double",
+    )

@@ -257,6 +257,54 @@ def fingerprint_stage(k: int = 2, cell_hz: float = 0.0):
     return run
 
 
+SEGMENT_SCHEMA = (
+    "clip_id string, seg_idx int, start_ms int, n_bytes int, bytes binary, "
+    "sr_hz int, rms_dbfs double"
+)
+
+
+def segment_stage(frame_ms: int = 20):
+    """mapInPandas stage: split each clip into non-overlapping
+    ``frame_ms`` windows and emit ONE ROW PER SEGMENT with the sliced
+    PCM payload — fixed-window chunking for training pipelines
+    (row-expansion inside the Arrow batch; trailing partial window
+    dropped, matching the framing contract ``n_frames = n_in // frame``).
+    start_ms = (k · frame · 1000) // sr exactly. Payload slices are cut
+    from the RAW PCM buffer (byte-identical to the source clip — a
+    decode→re-encode round trip could drift one LSB via int16
+    truncation); the decode feeds only the per-segment level."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, b, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+                sr = int(sr)
+                raw = bytes(b)
+                w = _decode(raw, codec)
+                frame = max(1, sr * frame_ms // 1000)
+                lv = frame_rms_dbfs(w, sr, frame_ms=frame_ms)
+                for k in range(lv.shape[0]):
+                    seg = raw[k * frame * 2:(k + 1) * frame * 2]
+                    rows.append(
+                        (
+                            cid,
+                            k,
+                            (k * frame * 1000) // sr,
+                            len(seg),
+                            seg,
+                            sr,
+                            round(float(lv[k]), 4),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "seg_idx", "start_ms", "n_bytes", "bytes", "sr_hz", "rms_dbfs"],
+            )
+
+    return run
+
+
 def loudness_stage():
     """mapInPandas stage: decode → per-clip RMS/peak dBFS."""
     import pandas as pd

@@ -186,6 +186,31 @@ class TestSparkStages:
         assert len(groups) == 20
         assert all(g.ng == 1 and g.n == 3 for g in groups)
 
+    def test_segment_stage_byte_identity(self, spark):
+        from collections import defaultdict
+
+        from olake_spark.fixtures.audio_clips import generate_clips
+        from olake_spark.functions.dsp import SEGMENT_SCHEMA, segment_stage
+
+        clips = generate_clips(spark, 12, partitions=2)
+        orig = {r.clip_id: bytes(r.bytes) for r in clips.collect()}
+        rows = clips.mapInPandas(segment_stage(frame_ms=20), schema=SEGMENT_SCHEMA).collect()
+        by = defaultdict(list)
+        for r in rows:
+            by[r.clip_id].append(r)
+        assert set(by) == set(orig)
+        for cid, segs in by.items():
+            segs.sort(key=lambda r: r.seg_idx)
+            assert [r.seg_idx for r in segs] == list(range(len(segs)))
+            cat = b"".join(bytes(r.bytes) for r in segs)
+            # concatenated slices are a byte-identical prefix of the clip
+            # (trailing partial window dropped by contract)
+            assert orig[cid].startswith(cat)
+            assert len(orig[cid]) - len(cat) < 2 * segs[0].n_bytes
+            assert all(r.n_bytes == len(bytes(r.bytes)) == segs[0].n_bytes for r in segs)
+            # synth clips are tonal everywhere: every segment is loud
+            assert all(r.rms_dbfs > -20.0 for r in segs)
+
     def test_loudness_stage(self, spark):
         from olake_spark.fixtures.audio_clips import generate_clips
 
