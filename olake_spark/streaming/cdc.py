@@ -26,10 +26,12 @@ reference's 10k-record writer buffer does (protocol/root.go:98).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olake_spark.operators.merge import merge_into
+from olake_spark.operators.merge import fold_deletes, merge_into, merge_mor
 from olake_spark.table.table import Table
 
 
@@ -41,6 +43,9 @@ def cdc_stream_merge(
     max_files_per_trigger: int | None = None,
     timeout_s: float = 600.0,
     fmt: str = "parquet",
+    mode: str = "cow",
+    fold_every: int | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> dict:
     """Drain a CDC landing dir into the table via per-batch MERGE.
 
@@ -54,7 +59,25 @@ def cdc_stream_merge(
     JSON (pkg/waljs/filter.go:33-60); jsonl landing files carry the
     same RawRecord shape and are aligned (cast/pad) to the table
     schema, binary columns arriving base64-encoded.
+
+    mode: "cow" rewrites affected files per batch (merge_into); "mor"
+    is the reference's actual streaming write — one equality-delete
+    file + one data file per micro-batch, O(batch) commit cost
+    (BaseDeltaTaskWriter.java:49-61), which is what keeps a CDC
+    trickle cheap on a 100 TB table. With mode="mor",
+    ``fold_every=N`` runs fold_deletes after every N merged batches
+    (and once at the end) so read amplification stays bounded — the
+    in-stream version of the out-of-band maintenance loop.
+
+    transform: optional per-batch DataFrame → DataFrame hook applied
+    BEFORE the merge — payload enrichment at ingestion time (e.g.
+    attach loudness/VAD stats columns to audio rows via an
+    Arrow-batched stage). The result must still carry the table
+    schema; it runs inside foreachBatch, so it is exactly-once per
+    committed batch like the merge itself.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     spark = table.spark
     schema = table.schema
     # CDC batches land as one subdirectory per batch — recurse
@@ -86,18 +109,25 @@ def cdc_stream_merge(
     else:
         src = reader.schema(schema).parquet(source_dir)
 
-    progress = {"batches": 0, "rows": 0}
+    progress = {"batches": 0, "rows": 0, "folds": 0}
+    merge_fn = merge_mor if mode == "mor" else merge_into
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # one scan of the batch: merge_into checkpoints the deduped
+        # one scan of the batch: the merge checkpoints the deduped
         # source and reports its row count — no pre-count pass here
         # (rows therefore counts post-dedup winners, one per key).
-        m = merge_into(table, batch_df, key=key)
+        if transform is not None:
+            batch_df = transform(batch_df)
+        m = merge_fn(table, batch_df, key=key)
         n = int(m.get("source_rows") or 0)
         if n == 0:
             return
         progress["batches"] += 1
         progress["rows"] += n
+        if fold_every and progress["batches"] % fold_every == 0:
+            f = fold_deletes(table)
+            if not f.get("skipped"):
+                progress["folds"] += 1
 
     q = (
         src.writeStream.foreachBatch(apply_batch)
@@ -109,6 +139,10 @@ def cdc_stream_merge(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"CDC stream did not drain within {timeout_s}s")
+    if mode == "mor" and fold_every and table.delete_entries():
+        f = fold_deletes(table)
+        if not f.get("skipped"):
+            progress["folds"] += 1
     return progress
 
 

@@ -336,3 +336,92 @@ def test_append_mode_windows_finalize_once_past_watermark(spark, tmp_path):
     assert rows_by_key[(t0.replace(minute=0), "u")] == [6]
     # the unfinalized tail window (watermark has not passed it) is absent
     assert (t0 + dt.timedelta(hours=4), "r") not in rows_by_key
+
+
+class TestStreamingMoR:
+    """mode='mor': the reference's actual streaming write path —
+    O(batch) delete+data commits per micro-batch, periodic folding."""
+
+    def test_mor_stream_matches_cow_result(self, spark, tmp_path):
+        t_cow = _mk_table(spark, str(tmp_path / "tbl_cow"))
+        t_mor = _mk_table(spark, str(tmp_path / "tbl_mor"))
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        _land(cdc_batch(spark, BASE_N, 1, updates=8, deletes=3), landing, "batch1")
+        _land(cdc_batch(spark, BASE_N, 2, inserts=5, updates=2), landing, "batch2")
+
+        p1 = cdc_stream_merge(t_cow, landing, str(tmp_path / "ck1"), max_files_per_trigger=1)
+        p2 = cdc_stream_merge(
+            t_mor, landing, str(tmp_path / "ck2"), max_files_per_trigger=1, mode="mor"
+        )
+        assert p1["batches"] == p2["batches"] == 2
+        # MoR never rewrote base files: the delete files are still live
+        assert len(t_mor.delete_entries()) == 2
+        cow = {(r._olake_id, r.transcript) for r in t_cow.scan().collect()}
+        mor = {(r._olake_id, r.transcript) for r in t_mor.scan().collect()}
+        assert cow == mor
+
+    def test_mor_stream_fold_every(self, spark, tmp_path):
+        t = _mk_table(spark, str(tmp_path / "tbl"))
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        _land(cdc_batch(spark, BASE_N, 1, updates=6), landing, "batch1")
+        _land(cdc_batch(spark, BASE_N, 2, deletes=4), landing, "batch2")
+        _land(cdc_batch(spark, BASE_N, 3, inserts=3), landing, "batch3")
+        prog = cdc_stream_merge(
+            t,
+            landing,
+            str(tmp_path / "ck"),
+            max_files_per_trigger=1,
+            mode="mor",
+            fold_every=2,
+        )
+        assert prog["batches"] == 3
+        # one mid-stream fold (after batch 2) + the end-of-run fold
+        assert prog["folds"] == 2
+        # fully folded: scans are delete-free again
+        assert t.delete_entries() == []
+        n_del = 4  # batch-2 delete stride has no collisions with batch 1/3
+        assert t.scan().count() == BASE_N - n_del + 3
+
+    def test_transform_hook_enriches_rows(self, spark, tmp_path):
+        """Payload enrichment at ingestion: a loudness column computed
+        by an Arrow-batched stage inside foreachBatch, exactly-once
+        with the merge."""
+        # table schema = clip schema + rms_dbfs double
+        t = Table.create(
+            spark,
+            str(tmp_path / "tbl"),
+            "audio_clips_enriched",
+            FULL_SCHEMA + ", rms_dbfs double",
+            identifier_fields=["_olake_id"],
+            properties={"stats.columns": '["_olake_id"]'},
+        )
+
+        def enrich(df):
+            from olake_spark.functions.dsp import loudness_stage
+
+            stats = df.select("clip_id", "bytes", "codec").mapInPandas(
+                loudness_stage(), schema="clip_id string, n_samples int, rms_dbfs double, peak_dbfs double"
+            ).select("clip_id", "rms_dbfs")
+            # the stream reader padded the missing column with nulls —
+            # replace it with the computed one
+            return df.drop("rms_dbfs").join(stats, "clip_id")
+
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        _land(cdc_batch(spark, 0, 1, inserts=10), landing, "batch1")
+        prog = cdc_stream_merge(
+            t, landing, str(tmp_path / "ck"), mode="mor", transform=enrich
+        )
+        assert prog["rows"] == 10
+        rows = t.scan().select("clip_id", "rms_dbfs").collect()
+        assert len(rows) == 10
+        assert all(r.rms_dbfs is not None and -20.0 < r.rms_dbfs < -3.0 for r in rows)
+
+    def test_bad_mode_rejected(self, spark, tmp_path):
+        t = _mk_table(spark, str(tmp_path / "tbl"))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mode"):
+            cdc_stream_merge(t, str(tmp_path), str(tmp_path / "ck"), mode="nope")
