@@ -1,4 +1,4 @@
-"""CLI entry points: spec | check | discover | sync | clear.
+"""CLI entry points: spec | check | discover | sync | clear | changelog.
 
 Mirrors the reference's protocol verbs (protocol/root.go:89-103,
 README.md:158-165) re-shaped for a maintenance engine:
@@ -12,6 +12,8 @@ README.md:158-165) re-shaped for a maintenance engine:
                 through the lineage manifest (≙ protocol/sync.go)
 - ``clear``     expire all but the current snapshot and drop lineage
                 state (≙ clear destination, iceberg.go:511-557)
+- ``changelog`` export the row-level change stream between snapshots
+                (CDC out: the inverse of sync's CDC in)
 
 Run as ``python -m olake_spark.cli <verb> --config job.json`` — the
 module layout is ``spark-submit --py-files olake_spark.zip``-friendly:
@@ -34,6 +36,11 @@ JOB_SPEC = {
         "job_id": {"type": "string", "description": "resume key; default sha256(config)"},
         "lineage_path": {"type": "string", "description": "lineage manifest JSON path"},
         "cores": {"type": ["integer", "string"], "description": "local[N] parallelism"},
+        "from_snapshot": {"type": "integer", "description": "changelog: exclusive start"},
+        "to_snapshot": {"type": "integer", "description": "changelog: inclusive end"},
+        "since_timestamp_ms": {"type": "integer", "description": "changelog: resolve start by wall clock"},
+        "output_dir": {"type": "string", "description": "changelog: export directory"},
+        "format": {"enum": ["parquet", "json"], "description": "changelog export format"},
         "stages": {
             "type": "array",
             "items": {
@@ -228,12 +235,57 @@ def cmd_clear(cfg: dict) -> dict:
     return {**r, "lineage_files_removed": removed}
 
 
+def cmd_changelog(cfg: dict) -> dict:
+    """Export the row-level change stream between snapshots (CDC out).
+
+    Config: ``from_snapshot`` (exclusive; or ``since_timestamp_ms``
+    resolved via snapshot_as_of), ``to_snapshot`` (inclusive; default
+    current), ``output_dir`` + ``format`` ("parquet" | "json") to
+    materialize the stream — JSON exports carry binary columns base64-
+    encoded, the same wire shape the CDC landing reader accepts, so a
+    downstream table can replay the export directly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = _spark(cfg)
+    t = _load_table(spark, cfg)
+    frm = cfg.get("from_snapshot")
+    if frm is None and cfg.get("since_timestamp_ms") is not None:
+        s = t.snapshot_as_of(int(cfg["since_timestamp_ms"]))
+        frm = s.snapshot_id if s else None
+    log = t.changelog(from_snapshot_id=frm, to_snapshot_id=cfg.get("to_snapshot"))
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in log.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    out: dict = {
+        "from_snapshot": frm,
+        "to_snapshot": cfg.get("to_snapshot") or t.meta.current_snapshot_id,
+        "inserts": int(counts.get("insert", 0)),
+        "deletes": int(counts.get("delete", 0)),
+    }
+    out_dir = cfg.get("output_dir")
+    if out_dir:
+        fmt = cfg.get("format", "parquet")
+        if fmt == "json":
+            for f in t.schema.fields:
+                if isinstance(f.dataType, T.BinaryType):
+                    log = log.withColumn(f.name, F.base64(F.col(f.name)))
+            log.write.mode("overwrite").json(out_dir)
+        else:
+            log.write.mode("overwrite").parquet(out_dir)
+        out["output_dir"] = out_dir
+        out["format"] = fmt
+    return out
+
+
 VERBS = {
     "spec": cmd_spec,
     "check": cmd_check,
     "discover": cmd_discover,
     "sync": cmd_sync,
     "clear": cmd_clear,
+    "changelog": cmd_changelog,
 }
 
 

@@ -113,3 +113,85 @@ def test_clear_trims_history(spark, tmp_path):
     t2 = Table.load(spark, t.location)
     assert len(t2.meta.snapshots) == 1
     assert t2.scan().count() == 160
+
+
+def test_changelog_export_roundtrip(spark, tmp_path):
+    """CDC out: export the MoR change stream as base64 JSON, replay it
+    through the CDC landing reader into a second table, and land on the
+    same state — changelog is the inverse of sync's CDC in."""
+    from olake_spark.operators.merge import merge_mor
+    from olake_spark.streaming import cdc_stream_merge
+
+    t = Table.create(
+        spark,
+        str(tmp_path / "tbl"),
+        "clips",
+        FULL_SCHEMA,
+        identifier_fields=["_olake_id"],
+        properties={"stats.columns": '["_olake_id"]'},
+    )
+    t.commit_append(t.write_datafiles(generate_clips(spark, 80, partitions=2)))
+    snap1 = t.meta.current_snapshot_id
+    batch = cdc_batch(spark, 80, 1, updates=6, deletes=3, inserts=2)
+    n_all = batch.count()
+    n_live = batch.filter("_op_type <> 'd'").count()
+    merge_mor(t, batch)
+
+    out_dir = str(tmp_path / "export")
+    r = cli.cmd_changelog(
+        {
+            "table": str(tmp_path / "tbl"),
+            "cores": 4,
+            "from_snapshot": snap1,
+            "output_dir": out_dir,
+            "format": "json",
+        }
+    )
+    assert r["inserts"] == n_live and r["deletes"] == n_all
+
+    # replay: deletes → op 'd', inserts → op 'u' (upsert), through the
+    # jsonl CDC landing path into a fresh copy of the base table
+    raw = spark.read.json(out_dir)
+    t2 = Table.create(
+        spark,
+        str(tmp_path / "tbl2"),
+        "clips2",
+        FULL_SCHEMA,
+        identifier_fields=["_olake_id"],
+        properties={"stats.columns": '["_olake_id"]'},
+    )
+    t2.commit_append(t2.write_datafiles(generate_clips(spark, 80, partitions=2)))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    replay = raw.withColumn(
+        "_op_type", F.when(F.col("_change_type") == "delete", "d").otherwise("u")
+    ).withColumn(
+        # deletes sort before the same commit's insert on replay
+        "_cdc_timestamp",
+        F.concat(
+            F.lit("2026-03-0"),
+            (F.col("_commit_snapshot_id") % 9 + 1).cast("string"),
+            F.when(F.col("_change_type") == "delete", F.lit("T00:00:00")).otherwise(
+                F.lit("T00:00:01")
+            ),
+        ),
+    ).drop("_change_type", "_commit_snapshot_id")
+    replay.coalesce(1).write.json(os.path.join(landing, "batch1"))
+    cdc_stream_merge(t2, landing, str(tmp_path / "ck2"), fmt="json")
+
+    want = {(r_._olake_id, r_.transcript) for r_ in t.scan().collect()}
+    got = {(r_._olake_id, r_.transcript) for r_ in t2.scan().collect()}
+    assert got == want
+
+
+def test_changelog_since_timestamp(spark, tmp_path):
+    from olake_spark.operators.merge import merge_mor
+
+    t = _mk(spark, tmp_path)
+    s1 = t.meta.snapshot()
+    merge_mor(t, cdc_batch(spark, 80, 1, updates=4))
+    r = cli.cmd_changelog(
+        {"table": str(tmp_path / "tbl"), "cores": 4, "since_timestamp_ms": s1.timestamp_ms}
+    )
+    assert r["from_snapshot"] == s1.snapshot_id
+    assert r["inserts"] == 4 and r["deletes"] == 4
