@@ -124,21 +124,28 @@ def merge_into(
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
 
     target_file_size = target_file_size or table.target_file_size
-    # materialize the deduped batch ONCE: the source is scanned a single
-    # time (the checkpoint), and the three consumers — file pruning,
-    # the merge join, and the row count — all read the materialized
-    # blocks instead of re-running the dedup window per action.
-    src = dedup_batch(source, key).localCheckpoint(eager=True)
-    src_rows = src.count()  # cheap: counts checkpointed blocks
+    # Scan discipline: the FULL batch (payload columns included) is read
+    # exactly once, inside the merge plan below. Pruning and sizing need
+    # only the key column — a separate NARROW pass (columns pruned down
+    # to the key at the parquet scan) whose distinct-key count equals
+    # the post-dedup winner count (one winner per key, so no window
+    # needed here). Round 1 re-ran the full dedup 3×; an intermediate
+    # fix materialized the full batch via localCheckpoint, but pushing
+    # ~10 KB binary rows through the block manager is memory-bandwidth-
+    # bound and anti-scales with cores — keys-only + single full pass
+    # is both fewer bytes and cleanly parallel.
+    keys_df = source.select(key).distinct().cache()
+    src_rows = keys_df.count()
     if src_rows == 0:
+        keys_df.unpersist()
         return {"skipped": True, "snapshot_id": None, "source_rows": 0}
 
-    affected = affected_file_paths(table, src.select(key), key)
+    affected = affected_file_paths(table, keys_df, key)
     entry_by_path = {e.path: e for e in table.data_entries()}
     aff_entries = [entry_by_path[p] for p in affected]
     target_sub = table.scan(entries=aff_entries)
 
-    t, s = target_sub.alias("t"), src.alias("s")
+    t, s = target_sub.alias("t"), dedup_batch(source, key).alias("s")
     cond = F.col(f"t.{key}") == F.col(f"s.{key}")
     joined = t.join(s.hint("merge"), cond, "full_outer")  # sort-merge mandated
 
@@ -185,6 +192,7 @@ def merge_into(
             num_groups=n_files,
             max_records_per_file=roll_rows,
         )
+    keys_df.unpersist()
     snap = table.commit_replace(
         set(affected),
         new_entries,
@@ -248,19 +256,29 @@ def merge_mor(
             f"merge_mor key {key!r} must be the table identifier field {id_key!r}"
         )
 
-    src = dedup_batch(source, key).localCheckpoint(eager=True)
-    src_rows = src.count()
+    # upsert = delete old version + insert new: EVERY source key goes in
+    # the delete file; only non-'d' winners land in the data file.
+    # The delete file needs keys only (winners' keys == distinct source
+    # keys), so it comes from a NARROW column-pruned pass; the full
+    # payload is scanned exactly once, by the data-file write below —
+    # no checkpoint materialization of binary rows.
+    keys_df = source.select(key).distinct().cache()
+    src_rows = keys_df.count()
     if src_rows == 0:
+        keys_df.unpersist()
         return {"skipped": True, "snapshot_id": None, "source_rows": 0}
 
-    # upsert = delete old version + insert new: EVERY source key goes in
-    # the delete file; only non-'d' winners land in the data file
+    # size the delete file(s) to the reference's 64 MiB equality-delete
+    # target (arrow-writer/utils.go:23) — the cached keys block AQE's
+    # small-partition coalescing, so bound the fanout explicitly
+    n_del_files = max(1, math.ceil(src_rows * 64 / (64 << 20)))
     del_entries = table.write_datafiles(
-        src.select(key).distinct(), content="deletes", sort_within=[key]
+        keys_df.coalesce(n_del_files), content="deletes", sort_within=[key]
     )
-    live = src.filter(F.coalesce(F.col("_op_type"), F.lit("")) != F.lit("d")).select(
-        *[f.name for f in table.schema.fields]
-    )
+    keys_df.unpersist()
+    live = dedup_batch(source, key).filter(
+        F.coalesce(F.col("_op_type"), F.lit("")) != F.lit("d")
+    ).select(*[f.name for f in table.schema.fields])
     data_entries = table.write_datafiles(live, sort_within=[key])
     snap = table.commit_append(
         del_entries + data_entries,

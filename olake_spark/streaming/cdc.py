@@ -113,9 +113,9 @@ def cdc_stream_merge(
     merge_fn = merge_mor if mode == "mor" else merge_into
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # one scan of the batch: the merge checkpoints the deduped
-        # source and reports its row count — no pre-count pass here
-        # (rows therefore counts post-dedup winners, one per key).
+        # one full scan of the batch inside the merge plan (pruning is
+        # keys-only); no pre-count pass here — rows counts post-dedup
+        # winners, one per key.
         if transform is not None:
             batch_df = transform(batch_df)
         m = merge_fn(table, batch_df, key=key)

@@ -154,12 +154,13 @@ class TestMerge:
 
 class TestSingleSourceScan:
     def test_merge_scans_source_batch_once(self, spark, merged_table):
-        """The CDC merge path must read the source batch exactly once:
-        dedup is checkpointed, and file pruning / the join / the row
-        count all consume the materialized blocks. An accumulator-
-        ticking UDF on a carried column counts row evaluations — more
-        than one pass would tick ≥ 2× the batch size (the round-1 code
-        ticked ~3×: dedup re-ran for count(), pruning, and the join)."""
+        """The CDC merge path must read the FULL source batch (payload
+        columns) exactly once — the pruning/sizing pass is keys-only,
+        where column pruning drops this probe column entirely. An
+        accumulator-ticking UDF on a carried column counts payload
+        evaluations — more than one full pass would tick ≥ 2× the batch
+        size (the round-1 code ticked ~3×: dedup re-ran for count(),
+        pruning, and the join)."""
         acc = spark.sparkContext.accumulator(0)
 
         def tick(t):
