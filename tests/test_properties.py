@@ -106,3 +106,70 @@ def test_ffd_segment_tree_matches_naive(items, capacity):
     fast = first_fit_decreasing(items, capacity, min_items_per_bin=1)
     slow = _naive_ffd(items, capacity)
     assert [b.items for b in fast] == slow
+
+
+# ---------------------------------------------------------------- DSP contracts
+
+
+@given(
+    st.integers(1, 50_000),
+    st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+)
+@settings(max_examples=200, deadline=None)
+def test_resample_length_contract(n_in, sr_in, sr_out):
+    from olake_spark.functions.dsp import resample_linear
+
+    r = resample_linear(np.zeros(n_in), sr_in, sr_out)
+    want = n_in if sr_in == sr_out else max(1, (n_in * sr_out) // sr_in)
+    assert len(r) == want
+    # round-trip contract: n → out → back never grows past n (floor math)
+    rr = resample_linear(r, sr_out, sr_in)
+    assert len(rr) <= max(n_in, 1)
+
+
+@given(st.integers(0, 5_000), st.integers(1, 400), st.integers(1, 400))
+@settings(max_examples=200, deadline=None)
+def test_framing_counts(n, frame, hop):
+    from olake_spark.functions.dsp import frame_signal
+
+    fr = frame_signal(np.zeros(n), frame, hop)
+    want = 0 if n < frame else 1 + (n - frame) // hop
+    assert fr.shape == ((want, frame) if want else (0, frame))
+    # every frame fits inside the signal
+    assert want * 0 + (want - 1) * hop + frame <= n if want else True
+
+
+@given(
+    st.integers(256, 8192),
+    st.integers(1, 10_000),
+    st.floats(0.05, 8.0),
+    st.integers(0, 63),
+)
+@settings(max_examples=100, deadline=None)
+def test_fingerprint_amplitude_invariance(n, k_raw, scale, seed):
+    """Scaling never changes the fingerprint of a tonal signal (the
+    regime fingerprints are defined for — a near-tie spectrum has no
+    dominant peak to be invariant about)."""
+    from olake_spark.functions.dsp import clip_fingerprint
+
+    k = k_raw % max(n // 2 - 2, 1) + 1  # on-grid tone bin
+    rng = np.random.default_rng(seed)
+    w = np.sin(2 * np.pi * k * np.arange(n) / n) + 0.01 * rng.standard_normal(n)
+    assert clip_fingerprint(w, 16000) == clip_fingerprint(w * scale, 16000)
+
+
+@given(st.integers(1, 300), st.integers(0, 63), st.integers(0, 2))
+@settings(max_examples=100, deadline=None)
+def test_vad_segment_runs_partition_active_frames(n, seed, gap_mod_off):
+    from olake_spark.functions.dsp import vad_segments
+
+    rng = np.random.default_rng(seed)
+    act = rng.integers(0, 2, size=n).astype(bool)
+    segs = vad_segments(act, 20)
+    # total segment duration == active frame count × 20ms
+    assert sum(e - s for s, e in segs) == int(act.sum()) * 20
+    # segments are disjoint, ordered, nonempty
+    for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+        assert e1 < s2
+    assert all(e > s for s, e in segs)
