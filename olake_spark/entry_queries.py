@@ -1942,3 +1942,45 @@ def ivf_train(spark, sf_dir):
         [(h["iter"], h["nonempty"], round(h["max_shift"], 2)) for h in hist],
         "iter int, nonempty int, max_shift double",
     )
+
+
+def _strat_gate(engine: str) -> str:
+    """Deterministic per-stratum sampling gate: keep a row iff the
+    first 4 hex digits of md5(doc_id) taken mod 100 fall under the
+    stratum's keep percentage. Engine-stable (md5 + integer mod — no
+    RNG), reproducible across runs/retries, and cheap (one digest per
+    row). The fixture strata are src0..src19; each gets a distinct
+    rate 20 + 7·idx mod 80 so every stratum's gate is exercised."""
+    if engine == "spark":
+        h = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+        idx = "CAST(substring(source, 4) AS INT)"
+    else:
+        h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS INTEGER) % 100"
+        idx = "CAST(substr(source, 4) AS INTEGER)"
+    return f"({h}) < (20 + ({idx} * 7) % 80)"
+
+
+_STRATIFIED_SQL = f"""
+    SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents WHERE {_strat_gate('duck')}
+    GROUP BY source
+"""
+
+
+@_register("stratified_sample", _STRATIFIED_SQL)
+def stratified_sample(spark, sf_dir):
+    """Training-data curation: deterministic stratified downsampling —
+    per-source keep rates applied via an md5 hash gate instead of RNG,
+    so the sample is identical across runs, engines, and retries (the
+    property a reproducible data pipeline needs; Spark's sampleBy is
+    seed-dependent on partitioning). Filter + agg both JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.expr(_strat_gate("spark")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
