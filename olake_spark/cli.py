@@ -51,8 +51,11 @@ JOB_SPEC = {
                         "enum": [
                             "cdc_merge", "merge", "merge_mor", "fold_deletes",
                             "compact", "cluster", "rewrite_manifests", "expire",
+                            "auto",
                         ]
                     },
+                    "mode": {"enum": ["cow", "mor"], "description": "cdc_merge write mode"},
+                    "fold_every": {"type": "integer", "description": "cdc_merge mor: fold cadence"},
                     "source_dir": {"type": "string"},
                     "checkpoint_dir": {"type": "string"},
                     "curve": {"enum": ["zorder", "hilbert"]},
@@ -97,7 +100,7 @@ def cmd_check(cfg: dict) -> dict:
     for s in cfg.get("stages", []):
         if s.get("op") not in (
             "cdc_merge", "merge", "merge_mor", "fold_deletes",
-            "compact", "cluster", "rewrite_manifests", "expire",
+            "compact", "cluster", "rewrite_manifests", "expire", "auto",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
         if s.get("op") in ("cdc_merge", "merge", "merge_mor") and not s.get("source_dir"):
@@ -173,14 +176,12 @@ def cmd_sync(cfg: dict) -> dict:
         t.location, "metadata", f"lineage-{job_id}.json"
     )
     lin = LineageManifest(lineage_path, job_id)
-    results = []
-    for i, s in enumerate(cfg.get("stages", [])):
+    def exec_stage(i: int, stage_id: str, s: dict) -> dict:
         op = s["op"]
-        stage_id = f"{i:02d}-{op}"
         if op == "compact":
-            r = compact(t, target_size=s.get("target_size"), lineage=lin, stage=stage_id)
-        elif op == "cluster":
-            r = cluster(
+            return compact(t, target_size=s.get("target_size"), lineage=lin, stage=stage_id)
+        if op == "cluster":
+            return cluster(
                 t,
                 curve=s.get("curve", "zorder"),
                 target_size=s.get("target_size"),
@@ -188,33 +189,54 @@ def cmd_sync(cfg: dict) -> dict:
                 stage=stage_id,
                 row_weight=s.get("row_weight", "length(bytes) + 64"),
             )
-        elif op == "merge":
+        if op == "merge":
             src = spark.read.parquet(s["source_dir"])
-            r = merge_into(t, src, lineage=lin, stage=stage_id)
-        elif op == "merge_mor":
+            return merge_into(t, src, lineage=lin, stage=stage_id)
+        if op == "merge_mor":
             from olake_spark.operators.merge import merge_mor
 
             src = spark.read.parquet(s["source_dir"])
-            r = merge_mor(t, src, lineage=lin, stage=stage_id)
-        elif op == "fold_deletes":
+            return merge_mor(t, src, lineage=lin, stage=stage_id)
+        if op == "fold_deletes":
             from olake_spark.operators.merge import fold_deletes
 
-            r = fold_deletes(
+            return fold_deletes(
                 t, target_file_size=s.get("target_size"), lineage=lin, stage=stage_id
             )
-        elif op == "cdc_merge":
-            r = cdc_stream_merge(
+        if op == "cdc_merge":
+            return cdc_stream_merge(
                 t,
                 s["source_dir"],
                 s.get("checkpoint_dir")
                 or os.path.join(t.location, "metadata", f"ckpt-{job_id}-{i}"),
+                mode=s.get("mode", "cow"),
+                fold_every=s.get("fold_every"),
             )
-        elif op == "rewrite_manifests":
-            r = rewrite_manifests(t)
-        elif op == "expire":
-            r = expire_snapshots(t, keep_last=s.get("keep_last", 2))
-        else:
-            raise ValueError(f"unknown op {op!r}")
+        if op == "rewrite_manifests":
+            return rewrite_manifests(t)
+        if op == "expire":
+            return expire_snapshots(t, keep_last=s.get("keep_last", 2))
+        raise ValueError(f"unknown op {op!r}")
+
+    results = []
+    for i, s in enumerate(cfg.get("stages", [])):
+        op = s["op"]
+        if op == "auto":
+            # plan from current metadata, run what's due. Resume safety
+            # comes from state, not lineage: a completed stage stops
+            # triggering, so a crashed auto run re-plans only the rest.
+            from olake_spark.plans.maintenance import plan_maintenance
+
+            planned = plan_maintenance(t)
+            for j, ps in enumerate(planned):
+                stage_id = f"{i:02d}-auto-{j:02d}-{ps['op']}"
+                r = exec_stage(i, stage_id, ps)
+                results.append({"stage": stage_id, "reason": ps.get("reason"), **r})
+            if not planned:
+                results.append({"stage": f"{i:02d}-auto", "planned": 0})
+            continue
+        stage_id = f"{i:02d}-{op}"
+        r = exec_stage(i, stage_id, s)
         results.append({"stage": stage_id, **r})
     return {"job_id": job_id, "lineage": lineage_path, "stages": results}
 

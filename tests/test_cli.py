@@ -35,7 +35,7 @@ def test_spec_lists_all_ops():
     ops = spec["properties"]["stages"]["items"]["properties"]["op"]["enum"]
     assert set(ops) == {
         "cdc_merge", "merge", "merge_mor", "fold_deletes",
-        "compact", "cluster", "rewrite_manifests", "expire",
+        "compact", "cluster", "rewrite_manifests", "expire", "auto",
     }
 
 
