@@ -435,7 +435,7 @@ class StandaloneCluster:
                 p.kill()
 
 
-def main_scaling(n_clips: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> None:
+def main_scaling(n_clips: int, lo: int = 2, hi: int = 8, repeats: int | None = None) -> None:
     """North-rule scaling evidence: the same maintenance job graph at
     N vs 4N cores; efficiency = thr(4N) / ((4N/N) × thr(N)).
 
@@ -451,6 +451,10 @@ def main_scaling(n_clips: int, lo: int = 2, hi: int = 8, repeats: int = 3) -> No
     reported per run), so configs are interleaved [N, 4N] × repeats
     and each config's per-stage time is the MIN across repeats — the
     least-contended estimate of capability."""
+    if repeats is None:
+        # more repeats → tighter noise-floor estimate on a host whose
+        # availability swings 2-4× minute-to-minute (min estimator)
+        repeats = int(os.environ.get("OLAKE_SCALING_REPEATS", "3"))
     cluster_mode = os.environ.get("OLAKE_SCALING_MODE") == "cluster"
     cluster = None
     master_url = None
