@@ -176,32 +176,32 @@ def cmd_sync(cfg: dict) -> dict:
         t.location, "metadata", f"lineage-{job_id}.json"
     )
     lin = LineageManifest(lineage_path, job_id)
-    def exec_stage(i: int, stage_id: str, s: dict) -> dict:
+    def exec_stage(i: int, stage_id: str, s: dict, stage_lin=None) -> dict:
         op = s["op"]
         if op == "compact":
-            return compact(t, target_size=s.get("target_size"), lineage=lin, stage=stage_id)
+            return compact(t, target_size=s.get("target_size"), lineage=stage_lin, stage=stage_id)
         if op == "cluster":
             return cluster(
                 t,
                 curve=s.get("curve", "zorder"),
                 target_size=s.get("target_size"),
-                lineage=lin,
+                lineage=stage_lin,
                 stage=stage_id,
                 row_weight=s.get("row_weight", "length(bytes) + 64"),
             )
         if op == "merge":
             src = spark.read.parquet(s["source_dir"])
-            return merge_into(t, src, lineage=lin, stage=stage_id)
+            return merge_into(t, src, lineage=stage_lin, stage=stage_id)
         if op == "merge_mor":
             from olake_spark.operators.merge import merge_mor
 
             src = spark.read.parquet(s["source_dir"])
-            return merge_mor(t, src, lineage=lin, stage=stage_id)
+            return merge_mor(t, src, lineage=stage_lin, stage=stage_id)
         if op == "fold_deletes":
             from olake_spark.operators.merge import fold_deletes
 
             return fold_deletes(
-                t, target_file_size=s.get("target_size"), lineage=lin, stage=stage_id
+                t, target_file_size=s.get("target_size"), lineage=stage_lin, stage=stage_id
             )
         if op == "cdc_merge":
             return cdc_stream_merge(
@@ -222,21 +222,23 @@ def cmd_sync(cfg: dict) -> dict:
     for i, s in enumerate(cfg.get("stages", [])):
         op = s["op"]
         if op == "auto":
-            # plan from current metadata, run what's due. Resume safety
-            # comes from state, not lineage: a completed stage stops
-            # triggering, so a crashed auto run re-plans only the rest.
+            # plan from current metadata, run what's due. Auto stages run
+            # WITHOUT the lineage manifest: their idempotence comes from
+            # table state (a completed stage stops triggering), and a
+            # recurring sync re-using the same job_id must not skip a
+            # stage that has become due again since the last run.
             from olake_spark.plans.maintenance import plan_maintenance
 
             planned = plan_maintenance(t)
             for j, ps in enumerate(planned):
                 stage_id = f"{i:02d}-auto-{j:02d}-{ps['op']}"
-                r = exec_stage(i, stage_id, ps)
+                r = exec_stage(i, stage_id, ps, stage_lin=None)
                 results.append({"stage": stage_id, "reason": ps.get("reason"), **r})
             if not planned:
                 results.append({"stage": f"{i:02d}-auto", "planned": 0})
             continue
         stage_id = f"{i:02d}-{op}"
-        r = exec_stage(i, stage_id, s)
+        r = exec_stage(i, stage_id, s, stage_lin=lin)
         results.append({"stage": stage_id, **r})
     return {"job_id": job_id, "lineage": lineage_path, "stages": results}
 
@@ -276,6 +278,10 @@ def cmd_changelog(cfg: dict) -> dict:
         s = t.snapshot_as_of(int(cfg["since_timestamp_ms"]))
         frm = s.snapshot_id if s else None
     log = t.changelog(from_snapshot_id=frm, to_snapshot_id=cfg.get("to_snapshot"))
+    if cfg.get("output_dir"):
+        # counts + export are two actions over the same plan — cache so
+        # the range's files are read (and the snapshot map joined) once
+        log = log.cache()
     counts = {
         r["_change_type"]: r["n"]
         for r in log.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
@@ -298,6 +304,7 @@ def cmd_changelog(cfg: dict) -> dict:
             log.write.mode("overwrite").parquet(out_dir)
         out["output_dir"] = out_dir
         out["format"] = fmt
+        log.unpersist()
     return out
 
 

@@ -43,16 +43,28 @@ def plan_maintenance(table: Table) -> list[dict]:
     if len(dels) >= _prop(table, "max-delete-files", 4):
         stages.append({"op": "fold_deletes", "reason": f"{len(dels)} delete files live"})
 
-    small = [e for e in data if e.file_size_bytes < _prop(table, "small-file-ratio", 0.5) * target]
+    small_cut = _prop(table, "small-file-ratio", 0.5) * target
+    small = [e for e in data if e.file_size_bytes < small_cut]
     if len(small) >= _prop(table, "min-small-files", 8):
         stages.append(
-            {"op": "compact", "reason": f"{len(small)} files under {int(target / 2)} bytes"}
+            {"op": "compact", "reason": f"{len(small)} files under {int(small_cut)} bytes"}
         )
 
     cluster_snaps = [s for s in snaps if s.operation.startswith("cluster-")]
     if cluster_snaps:
         last = max(cluster_snaps, key=lambda s: s.sequence_number)
-        stale = [e for e in data if e.added_snapshot_id > last.sequence_number]
+        # added_snapshot_id is a snapshot id — map it to that snapshot's
+        # sequence number for the "added after the clustering" test
+        # (today ids equal sequence numbers, but the format models them
+        # as distinct domains)
+        seq_of = {s.snapshot_id: s.sequence_number for s in snaps}
+        # unknown adder (its snapshot expired) ⇒ the file predates the
+        # retained window, i.e. older than the clustering — not stale
+        stale = [
+            e
+            for e in data
+            if seq_of.get(e.added_snapshot_id, -1) > last.sequence_number
+        ]
         if len(stale) >= _prop(table, "recluster-appends", 8):
             stages.append(
                 {

@@ -115,16 +115,25 @@ def cdc_stream_merge(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # one full scan of the batch inside the merge plan (pruning is
         # keys-only); no pre-count pass here — rows counts post-dedup
-        # winners, one per key.
+        # winners, one per key. A transformed batch is cached first:
+        # the merge's keys pass cannot column-prune through an
+        # arbitrary transform, so without the cache the enrichment
+        # would run twice (and a nondeterministic transform could hand
+        # the delete and data writers different rows).
+        cached = None
         if transform is not None:
-            batch_df = transform(batch_df)
-        m = merge_fn(table, batch_df, key=key)
+            batch_df = cached = transform(batch_df).cache()
+        try:
+            m = merge_fn(table, batch_df, key=key)
+        finally:
+            if cached is not None:
+                cached.unpersist()
         n = int(m.get("source_rows") or 0)
         if n == 0:
             return
         progress["batches"] += 1
         progress["rows"] += n
-        if fold_every and progress["batches"] % fold_every == 0:
+        if mode == "mor" and fold_every and progress["batches"] % fold_every == 0:
             f = fold_deletes(table)
             if not f.get("skipped"):
                 progress["folds"] += 1

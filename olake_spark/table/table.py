@@ -245,7 +245,10 @@ class Table:
         timestamp is <= ``timestamp_ms`` (Iceberg ``FOR SYSTEM_TIME AS
         OF`` resolution). Returns None when the table had no snapshot
         yet at that time. Feed the result's ``snapshot_id`` to
-        ``scan``."""
+        ``scan``. Commits sharing a millisecond resolve to the LATEST
+        of them (correct for "state as of T"); incremental consumers
+        that must not skip a tied commit should track snapshot ids,
+        not wall clock."""
         eligible = [s for s in self.meta.snapshots if s.timestamp_ms <= timestamp_ms]
         if not eligible:
             return None
@@ -289,11 +292,33 @@ class Table:
         """
         snaps = sorted(self.meta.snapshots, key=lambda s: s.sequence_number)
         by_id = {s.snapshot_id: s for s in snaps}
-        lo = -1 if from_snapshot_id is None else by_id[from_snapshot_id].sequence_number
+
+        def _resolve(sid: int):
+            if sid not in by_id:
+                raise ValueError(
+                    f"snapshot {sid} not in table history (expired or never "
+                    f"existed); known ids: {sorted(by_id)[-5:] or 'none'}"
+                )
+            return by_id[sid]
+
+        cur = self.meta.snapshot()
+        if cur is None:
+            # empty table: empty changelog with the contract schema
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    self.schema.fields
+                    + [
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_snapshot_id", T.LongType()),
+                    ]
+                ),
+            )
+        lo = -1 if from_snapshot_id is None else _resolve(from_snapshot_id).sequence_number
         hi = (
-            self.meta.snapshot().sequence_number
+            cur.sequence_number
             if to_snapshot_id is None
-            else by_id[to_snapshot_id].sequence_number
+            else _resolve(to_snapshot_id).sequence_number
         )
         selected = [s for s in snaps if lo < s.sequence_number <= hi]
         ins_files: list[DataFileEntry] = []

@@ -100,3 +100,24 @@ class TestCliAuto:
         assert out2["stages"][-1].get("planned") == 0 or all(
             "fold" not in s["stage"] for s in out2["stages"]
         )
+
+
+    def test_auto_retriggers_after_prior_completed_sync(self, spark, tmp_path):
+        """A recurring auto sync with an identical config (same job_id →
+        same lineage file) must still run stages that became due AGAIN
+        after the previous run completed them."""
+        loc = str(tmp_path / "t")
+        t = _mk(spark, loc)
+        for b in range(1, 5):
+            merge_mor(t, cdc_batch(spark, 60, b, updates=3))
+        cfg = {"table": loc, "cores": 4, "stages": [{"op": "auto"}]}
+        cli.cmd_sync(cfg)
+        assert Table.load(spark, loc).delete_entries() == []
+        # new delete files accumulate after the first run completed
+        t = Table.load(spark, loc)
+        for b in range(5, 9):
+            merge_mor(t, cdc_batch(spark, 60, b, updates=3))
+        out = cli.cmd_sync(cfg)  # identical config ⇒ identical job_id
+        ran = [s["stage"] for s in out["stages"]]
+        assert any("fold_deletes" in s for s in ran)
+        assert Table.load(spark, loc).delete_entries() == []

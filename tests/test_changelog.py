@@ -27,7 +27,8 @@ class TestSnapshotAsOf:
         merge_mor(t, cdc_batch(spark, 60, 1, updates=5))
         s2 = t.meta.snapshot()
         assert s2.timestamp_ms >= s1.timestamp_ms
-        assert t.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
+        if s2.timestamp_ms > s1.timestamp_ms:  # same-ms tie resolves to s2 by contract
+            assert t.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
         assert t.snapshot_as_of(s2.timestamp_ms).snapshot_id == s2.snapshot_id
         assert t.snapshot_as_of(s2.timestamp_ms + 10_000).snapshot_id == s2.snapshot_id
         assert t.snapshot_as_of(s1.timestamp_ms - 10_000) is None
@@ -130,3 +131,19 @@ class TestChangelog:
         got = {r._olake_id: r.transcript for r in last.select("_olake_id", "transcript").collect()}
         want = {r._olake_id: r.transcript for r in t.scan().select("_olake_id", "transcript").collect()}
         assert got == want
+
+
+class TestChangelogErrors:
+    def test_unknown_snapshot_raises_value_error(self, mor_table):
+        with pytest.raises(ValueError, match="not in table history"):
+            mor_table.changelog(from_snapshot_id=999)
+        with pytest.raises(ValueError, match="not in table history"):
+            mor_table.changelog(to_snapshot_id=999)
+
+    def test_empty_table_changelog_is_empty_with_schema(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, tmp_table_dir, "empty", FULL_SCHEMA, identifier_fields=["_olake_id"]
+        )
+        log = t.changelog()
+        assert log.count() == 0
+        assert "_change_type" in log.columns and "_commit_snapshot_id" in log.columns
