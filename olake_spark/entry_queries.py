@@ -398,7 +398,9 @@ def geo_wkt(spark, sf_dir):
             ]
         )
 
-    o = _spread(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0))
+    # no spread here: a few thousand rows through Python UDFs — fanning
+    # out to every core costs more in worker spin-up than the work
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
     wkb = o.select(
         "o_orderkey",
         pack_point(
@@ -1937,7 +1939,7 @@ def ivf_train(spark, sf_dir):
     from olake_spark.operators.kmeans import train_centroids
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    _, hist = train_centroids(e, k=16, vec_col="embedding", iters=4, tol=0.0)
+    _, hist = train_centroids(e, k=8, vec_col="embedding", iters=3, tol=0.0)
     return spark.createDataFrame(
         [(h["iter"], h["nonempty"], round(h["max_shift"], 2)) for h in hist],
         "iter int, nonempty int, max_shift double",
