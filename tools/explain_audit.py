@@ -119,6 +119,13 @@ AUDITS = {
         ("file→snapshot map rides a broadcast", "BroadcastHashJoin"),
         ("insert/delete branches unioned", "Union"),
     ],
+    "stratified_sample": [
+        ("hash gate evaluated at the scan filter", "Filter"),
+        ("partial agg before exchange", "HashAggregate"),
+    ],
+    "audio_segments": [
+        ("row-expansion inside the Arrow batch", "MapInPandas"),
+    ],
 }
 
 
