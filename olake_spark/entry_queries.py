@@ -1986,3 +1986,38 @@ def stratified_sample(spark, sf_dir):
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+_SEG_MATCH_SQL = """
+    SELECT CAST(g.range AS INT) AS group_idx, CAST(q.range AS INT) AS seg_idx,
+           CAST(2 AS BIGINT) AS n_matches
+    FROM range(0, 60) g, range(0, 4) q
+"""
+
+
+@_register("audio_segment_match", _SEG_MATCH_SQL)
+def audio_segment_match(spark, sf_dir):
+    """Sub-clip repeated-content detection (the windowed version of
+    audio_fingerprint_dedup): time-VARYING clips are segmented into
+    250 ms windows, each window fingerprinted (zero-padded FFT peaks),
+    and matches found by grouping on the fingerprint — a hash
+    aggregation, never pairwise audio comparison. The fixture's 60
+    groups × 2 jittered copies × 4 distinct-content segments must
+    reconstruct exactly 240 (group, position) matches of size 2: the
+    oracle catches merged groups (fingerprint collisions across
+    content), split groups (jitter sensitivity), and cross-position
+    leakage (a window matching the wrong position)."""
+    from olake_spark.fixtures.audio_clips import generate_chirp_dup_clips
+    from olake_spark.functions.dsp import SEG_FP_SCHEMA, segment_fingerprint_stage
+
+    clips = generate_chirp_dup_clips(spark, 60, copies=2, partitions=8)
+    fp = clips.mapInPandas(segment_fingerprint_stage(seg_ms=250), schema=SEG_FP_SCHEMA)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("group_idx").alias("group_idx"),
+            F.min("seg_idx").alias("seg_idx"),
+            F.count("*").alias("n_matches"),
+        )
+        .select("group_idx", "seg_idx", "n_matches")
+    )

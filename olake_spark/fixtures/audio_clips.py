@@ -162,6 +162,51 @@ def generate_dup_clips(
     return rng.mapInPandas(gen, schema="clip_id string, group_idx int, bytes binary, sr_hz int")
 
 
+def generate_chirp_dup_clips(
+    spark: SparkSession,
+    n_groups: int,
+    copies: int = 2,
+    n_segments: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Time-VARYING near-duplicate cohort for sub-clip matching: clip j
+    belongs to group ``j % n_groups``; its 1 s waveform is
+    ``n_segments`` equal stretches, each a distinct tone pair
+    (f1 = 100 + (13g)%1900 + 97q, f2 = 150 + (29g)%3000 + 89q for
+    segment q — unique per (g, q) for n_groups ≤ 100 since 13∤97Δq).
+    Copies share the group waveform (group-seeded noise) plus
+    independent per-copy jitter, so segment-level fingerprints must
+    match across copies per position but differ across positions."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            seg_n = DUP_SR_HZ * DUP_DUR_MS // 1000 // n_segments
+            for j in pdf["id"]:
+                j = int(j)
+                g = j % n_groups
+                grng = np.random.default_rng(3_000_000_019 + g)
+                parts = []
+                for q in range(n_segments):
+                    f1 = 100 + (13 * g) % 1900 + 97 * q
+                    f2 = 150 + (29 * g) % 3000 + 89 * q
+                    t = np.arange(seg_n, dtype=np.float64) / DUP_SR_HZ
+                    parts.append(
+                        0.5 * np.sin(2 * np.pi * f1 * t)
+                        + 0.3 * np.sin(2 * np.pi * f2 * t)
+                        + 0.02 * grng.standard_normal(seg_n)
+                    )
+                w = np.concatenate(parts)
+                jit = np.random.default_rng(4_000_000_007 + j)
+                w = w + 0.005 * jit.standard_normal(w.shape[0])
+                rows.append((f"chirp_{j:06d}", g, encode_pcm_s16le(w), DUP_SR_HZ))
+            yield pd.DataFrame(rows, columns=["clip_id", "group_idx", "bytes", "sr_hz"])
+
+    n = n_groups * copies
+    rng = spark.range(n, numPartitions=partitions) if partitions else spark.range(n)
+    return rng.mapInPandas(gen, schema="clip_id string, group_idx int, bytes binary, sr_hz int")
+
+
 def cdc_batch(
     spark: SparkSession,
     base_n: int,

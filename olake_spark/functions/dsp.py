@@ -305,6 +305,37 @@ def segment_stage(frame_ms: int = 20):
     return run
 
 
+SEG_FP_SCHEMA = "clip_id string, group_idx int, seg_idx int, fingerprint long"
+
+
+def segment_fingerprint_stage(seg_ms: int = 250):
+    """mapInPandas stage over the dup-clip schema: per non-overlapping
+    ``seg_ms`` window, a dominant-peak fingerprint of the segment
+    ZERO-PADDED to one second. The padding puts integer-Hz tones back
+    on the 1 Hz FFT grid (a bare 250 ms window has 4 Hz resolution, so
+    an integer frequency can fall mid-grid and let noise flip the
+    argmax between the two straddling bins — padded, the Dirichlet
+    mainlobe peaks exactly on the tone's bin). Sub-clip repeated-
+    content detection: match segments across clips by fingerprint
+    equality — a hash join, never pairwise audio comparison."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, g, b, sr in zip(pdf["clip_id"], pdf["group_idx"], pdf["bytes"], pdf["sr_hz"]):
+                sr = int(sr)
+                w = _decode(b)
+                seg = max(1, sr * seg_ms // 1000)
+                for k in range(w.shape[0] // seg):
+                    pad = np.zeros(sr, dtype=np.float64)
+                    pad[:seg] = w[k * seg:(k + 1) * seg]
+                    rows.append((cid, int(g), k, clip_fingerprint(pad, sr, k=2)))
+            yield pd.DataFrame(rows, columns=["clip_id", "group_idx", "seg_idx", "fingerprint"])
+
+    return run
+
+
 def loudness_stage():
     """mapInPandas stage: decode → per-clip RMS/peak dBFS."""
     import pandas as pd

@@ -224,3 +224,24 @@ class TestSparkStages:
             # synth mix sits well below full scale but far above silence
             assert -20.0 < r.rms_dbfs < -3.0
             assert r.rms_dbfs < r.peak_dbfs <= 0.5
+
+
+class TestSegmentFingerprint:
+    def test_cross_copy_match_and_position_distinctness(self, spark):
+        from collections import defaultdict
+
+        from olake_spark.fixtures.audio_clips import generate_chirp_dup_clips
+        from olake_spark.functions.dsp import SEG_FP_SCHEMA, segment_fingerprint_stage
+
+        clips = generate_chirp_dup_clips(spark, 12, copies=3, partitions=4)
+        rows = clips.mapInPandas(
+            segment_fingerprint_stage(seg_ms=250), schema=SEG_FP_SCHEMA
+        ).collect()
+        assert len(rows) == 12 * 3 * 4
+        by_fp = defaultdict(list)
+        for r in rows:
+            by_fp[r.fingerprint].append((r.group_idx, r.seg_idx))
+        # every fingerprint bucket = one (group, position), all 3 copies
+        assert len(by_fp) == 12 * 4
+        for members in by_fp.values():
+            assert len(members) == 3 and len(set(members)) == 1
