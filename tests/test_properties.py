@@ -123,9 +123,12 @@ def test_resample_length_contract(n_in, sr_in, sr_out):
     r = resample_linear(np.zeros(n_in), sr_in, sr_out)
     want = n_in if sr_in == sr_out else max(1, (n_in * sr_out) // sr_in)
     assert len(r) == want
-    # round-trip contract: n → out → back never grows past n (floor math)
-    rr = resample_linear(r, sr_out, sr_in)
-    assert len(rr) <= max(n_in, 1)
+    # round-trip contract: n → out → back never grows past n (floor
+    # math) — unless the first leg hit the 1-sample clamp, where the
+    # return leg legitimately reconstructs more samples than n_in
+    if (n_in * sr_out) // sr_in >= 1:
+        rr = resample_linear(r, sr_out, sr_in)
+        assert len(rr) <= max(n_in, 1)
 
 
 @given(st.integers(0, 5_000), st.integers(1, 400), st.integers(1, 400))
