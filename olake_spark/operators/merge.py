@@ -69,7 +69,18 @@ def dedup_batch(source: DataFrame, key: str = "_olake_id") -> DataFrame:
 def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[str]:
     """Manifest-bounds pruning: DATA files whose [min,max] range for
     ``key`` contains any source key. Entries without bounds are always
-    affected; equality-delete files are never rewrite targets here."""
+    affected; equality-delete files are never rewrite targets here.
+
+    Bounds are compared in the key column's NATIVE Spark type: the
+    manifest stores them JSON-stringified (ints as ints, timestamps as
+    ISO-8601 strings), so each bound is cast back to the table schema's
+    type before the range join. Comparing stringified bounds
+    lexicographically is wrong for numeric keys ("9" > "1500") and
+    silently skips files that numerically contain a source key — a
+    duplicate-key / resurrected-delete corruption. A bound that fails
+    the cast (unparseable in the key's type) conservatively marks its
+    file affected rather than pruning it.
+    """
     entries = table.data_entries()
     rows, unbounded = [], []
     for e in entries:
@@ -80,12 +91,24 @@ def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[
             rows.append((e.path, str(lo), str(hi)))
     affected = set(unbounded)
     if rows:
-        bounds = table.spark.createDataFrame(rows, "path string, lo string, hi string")
+        key_field = next((f for f in table.schema.fields if f.name == key), None)
+        key_type = key_field.dataType if key_field is not None else T.StringType()
+        bounds = table.spark.createDataFrame(
+            rows, "path string, lo string, hi string"
+        ).select(
+            "path",
+            F.col("lo").cast(key_type).alias("lo"),
+            F.col("hi").cast(key_type).alias("hi"),
+        )
+        # manifest-scale DF (one row per file) — the two collects below
+        # are metadata ops, never data-proportional
+        bad = bounds.filter(F.col("lo").isNull() | F.col("hi").isNull())
+        affected.update(r["path"] for r in bad.select("path").collect())
         hit = (
-            source_keys.select(F.col(key).cast("string").alias("__k"))
+            source_keys.select(F.col(key).alias("__k"))
             .distinct()
             .join(
-                F.broadcast(bounds),
+                F.broadcast(bounds.filter(F.col("lo").isNotNull() & F.col("hi").isNotNull())),
                 (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
                 "inner",
             )
@@ -119,6 +142,15 @@ def merge_into(
     Idempotent: replaying the same batch after a completed commit is a
     no-op when driven through the same lineage manifest (the committed
     snapshot id is recorded before the replace, LSN-guard style).
+
+    ``source`` MUST be a deterministic plan: it is scanned twice (a
+    narrow keys-only pass for pruning/sizing, then the full merge). A
+    nondeterministic source (rand()-derived columns, an uncached
+    re-executed transform that can change between scans) can make the
+    pruned file set diverge from the rows actually merged, leaving
+    duplicates. Callers with nondeterministic pipelines should persist
+    the batch first (``cdc_stream_merge`` caches its transform output
+    for exactly this reason).
     """
     if lineage is not None and lineage.stage_complete(stage):
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
@@ -244,6 +276,11 @@ def merge_mor(
 
     Result-equivalent to ``merge_into`` on the same batches (pytest +
     the merge_mor/merge_upsert oracle pair assert scan equality).
+
+    ``source`` MUST be a deterministic plan (same contract as
+    ``merge_into``): the keys-only delete-file pass and the full
+    data-file pass scan it independently; a nondeterministic source can
+    emit live rows with no covering equality delete.
     """
     if lineage is not None and lineage.stage_complete(stage):
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
