@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olake_spark.functions.hashing import bucket_int_udf
+from olake_spark.functions.hashing import bucket_int_udf, bucket_string_udf
 from olake_spark.functions.transforms import (
     day_transform,
     hour_transform,
@@ -427,8 +427,8 @@ _MERGE_SQL = """
         FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
     )
     SELECT coalesce(t.o_orderkey, s.key) AS key,
-           CASE WHEN s.op = 'u' THEN s.new_price
-                ELSE CAST(t.o_totalprice AS DECIMAL(12,2)) END AS final_price,
+           CAST(CASE WHEN s.op = 'u' THEN s.new_price
+                ELSE CAST(t.o_totalprice AS DECIMAL(12,2)) END AS DOUBLE) AS final_price,
            coalesce(s.op, 'r') AS op
     FROM orders t FULL OUTER JOIN source s ON t.o_orderkey = s.key
     WHERE s.op IS NULL OR s.op <> 'd'
@@ -446,7 +446,14 @@ def merge_upsert(spark, sf_dir):
     binary double (Spark rounds the shortest decimal repr HALF_UP,
     DuckDB rounds the binary value) and diverges by one cent on ~1e-4
     of rows; a bare decimal downcast is also unsafe (DuckDB truncates
-    where Spark rounds). decimal round is HALF_UP on both."""
+    where Spark rounds). decimal round is HALF_UP on both.
+
+    The FINAL output column is cast DECIMAL(12,2)→DOUBLE on both
+    engines: the conversion is exact-and-deterministic (nearest-double
+    of the same decimal value; magnitude < 2^53 cents), and doubles
+    round-trip identically through every driver fetch/normalization
+    path, where Decimal objects hash differently per path (the round-2
+    driver-red root cause)."""
     o = _t(spark, sf_dir, "orders")
     price_dec = F.col("o_totalprice").cast("decimal(12,2)")
     upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
@@ -470,6 +477,7 @@ def merge_upsert(spark, sf_dir):
         F.coalesce(F.col("t.o_orderkey"), F.col("s.key")).alias("key"),
         F.when(F.col("s.op") == "u", F.col("s.new_price"))
         .otherwise(F.col("t.o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
         .alias("final_price"),
         F.coalesce(F.col("s.op"), F.lit("r")).alias("op"),
     )
@@ -534,7 +542,11 @@ def merge_mor(spark, sf_dir):
         ts1.alias("_olake_timestamp"),
     )
     mor_op(t, upd.unionAll(dels), key="key")
-    return t.scan().select("key", "final_price", F.col("_op_type").alias("op"))
+    return t.scan().select(
+        "key",
+        F.col("final_price").cast("double").alias("final_price"),
+        F.col("_op_type").alias("op"),
+    )
 
 
 @_register(
@@ -662,13 +674,85 @@ def topk_boundary(spark, sf_dir):
 # =====================================================================
 
 
-@_register("bucket_transform", None)  # murmur3 — no DuckDB equivalent; pytest
-def bucket_transform(spark, sf_dir):  # verifies against Iceberg spec vectors
-    """C6: Iceberg bucket(16) via bit-exact murmur3
-    (arrow-writer/transforms.go:51-128). Rows-only driver check."""
+def _mmh3_scalar(data: bytes, seed: int = 0) -> int:
+    """Independent scalar murmur3_x86_32 (public algorithm, Appleby) —
+    used ONLY to generate the bucket_transform oracle literals, so the
+    driver's hash gate cross-checks the vectorized numpy lane
+    implementation in functions/hashing.py against a second,
+    structurally different implementation (same role as
+    tests/test_functions._mmh3_ref)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n - n % 4 :]
+    for j in reversed(range(len(tail))):
+        k = (k << 8) | tail[j]
+    if tail:
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_BUCKET_DOMAIN = 512
+
+
+def _bucket_lut_sql() -> str:
+    """VALUES lookup (residue → int bucket(16), string bucket(8)) from
+    the scalar reference; Iceberg bucket = (hash & Int.MAX) % N over the
+    little-endian-8-byte long / UTF-8 string (spec: Iceberg partition
+    transforms; arrow-writer/transforms.go:51-128)."""
+    rows = []
+    for r in range(_BUCKET_DOMAIN):
+        hi = _mmh3_scalar(r.to_bytes(8, "little", signed=True))
+        hs = _mmh3_scalar(f"clip_{r:012d}".encode())
+        rows.append(f"({r},{(hi & 0x7FFFFFFF) % 16},{(hs & 0x7FFFFFFF) % 8})")
+    return ",".join(rows)
+
+
+_BUCKET_SQL = f"""
+    WITH lut(r, bi, bs) AS (VALUES {_bucket_lut_sql()})
+    SELECT o.o_orderkey,
+           CAST(l.bi AS INT) AS int_bucket,
+           CAST(l.bs AS INT) AS str_bucket
+    FROM orders o JOIN lut l ON o.o_orderkey % {_BUCKET_DOMAIN} = l.r
+"""
+
+
+@_register("bucket_transform", _BUCKET_SQL)
+def bucket_transform(spark, sf_dir):
+    """C6: Iceberg bucket(N) via bit-exact murmur3
+    (arrow-writer/transforms.go:51-128) — full-table scan, one murmur3
+    per row on both a long and a string input. The bucketed value is the
+    key's residue mod 512 so the oracle can verify every row's hash
+    against an independently generated scalar-murmur3 lookup (DuckDB has
+    no murmur3_x86_32; a VALUES join is the only bit-exact oracle). The
+    unbounded-domain path is pinned against Iceberg spec vectors and a
+    scalar reference in tests/test_functions::TestMurmur3."""
     o = _t(spark, sf_dir, "orders")
+    res = (F.col("o_orderkey") % _BUCKET_DOMAIN).cast("long")
     return o.select(
-        "o_orderkey", bucket_int_udf(16)(F.col("o_orderkey")).alias("bucket")
+        "o_orderkey",
+        bucket_int_udf(16)(res).alias("int_bucket"),
+        bucket_string_udf(8)(F.format_string("clip_%012d", res.cast("int"))).alias(
+            "str_bucket"
+        ),
     )
 
 
@@ -1530,11 +1614,28 @@ def partition_skew(spark, sf_dir):
 # =====================================================================
 
 
-@_register("image_meta", None)
+_IMAGE_META_SQL = """
+    WITH px AS (
+        SELECT s.r AS i, (x.r*7 + y.r*13 + s.r*31 + c.r*101) % 256 AS v
+        FROM range(96) s(r), range(32) x(r), range(24) y(r), range(3) c(r)
+    )
+    SELECT printf('image_%08d', i) AS media_id,
+           32 AS width, 24 AS height, 3 AS channels,
+           CAST(9 + 32*24*3 AS BIGINT) AS n_bytes,
+           avg(v) AS mean_px
+    FROM px GROUP BY i
+"""
+
+
+@_register("image_meta", _IMAGE_META_SQL)
 def image_meta(spark, sf_dir):
     """Multimodal image plumbing: binary column → typed metadata +
     mean pixel via mapInPandas (decode is the deterministic FIMG
-    fixture; real codecs stubbed — functions/multimodal.py)."""
+    fixture; real codecs stubbed — functions/multimodal.py). The
+    oracle re-derives width/height/channels/byte-length and the EXACT
+    per-image pixel mean from the fixture's (x,y,c,seed) pixel formula
+    — integer sums are exact in float64, so numpy mean and SQL AVG are
+    bit-identical."""
     from olake_spark.functions.multimodal import (
         IMAGE_META_SCHEMA,
         generate_media,
@@ -1545,10 +1646,26 @@ def image_meta(spark, sf_dir):
     return media.mapInPandas(image_meta_stage, schema=IMAGE_META_SCHEMA)
 
 
-@_register("video_frame_sample", None)
+_FRAME_SAMPLE_SQL = """
+    WITH fr AS (SELECT s.r AS i, f.r * 2 AS fi FROM range(48) s(r), range(4) f(r)),
+    px AS (
+        SELECT fr.i, fr.fi, (x.r*5 + y.r*11 + fr.i*17 + fr.fi*29) % 256 AS v
+        FROM fr, range(16) x(r), range(12) y(r)
+    )
+    SELECT printf('video_%08d', i) AS media_id,
+           CAST(fi AS INT) AS frame_idx,
+           16 AS width, 12 AS height,
+           avg(v) AS mean_px
+    FROM px GROUP BY i, fi
+"""
+
+
+@_register("video_frame_sample", _FRAME_SAMPLE_SQL)
 def video_frame_sample(spark, sf_dir):
     """Multimodal video plumbing: frame-sample every 2nd frame from
-    binary video payloads via mapInPandas (FVID fixture decode)."""
+    binary video payloads via mapInPandas (FVID fixture decode). The
+    oracle reproduces the sampled frame grid and each frame's exact
+    pixel mean from the fixture formula (see image_meta)."""
     from olake_spark.functions.multimodal import (
         FRAME_SAMPLE_SCHEMA,
         frame_sample_stage,
@@ -1559,11 +1676,30 @@ def video_frame_sample(spark, sf_dir):
     return media.mapInPandas(frame_sample_stage(stride=2), schema=FRAME_SAMPLE_SCHEMA)
 
 
-@_register("audio_synth_stats", None)
+_SYNTH_STATS_SQL = """
+    WITH clips AS (
+        SELECT CAST(range AS BIGINT) AS i,
+               CAST([8000,16000,22050,44100][CAST(range % 4 AS INT) + 1] AS BIGINT) AS sr,
+               CAST(40 + (range * 37) % 361 AS BIGINT) AS dur
+        FROM range(0, 64)
+    )
+    SELECT printf('clip_%012d', i) AS clip_id,
+           CAST(sr AS INT) AS sr_hz,
+           CAST(dur AS INT) AS dur_ms,
+           CAST(2 * greatest(1, (sr * dur) // 1000) AS BIGINT) AS n_bytes,
+           CAST(greatest(1, (sr * dur) // 1000) AS BIGINT) AS n_samples
+    FROM clips
+"""
+
+
+@_register("audio_synth_stats", _SYNTH_STATS_SQL)
 def audio_synth_stats(spark, sf_dir):
-    """Multimodal binary plumbing: distributed PCM synth → decode →
-    per-clip RMS via Arrow-batched pandas; rows-only driver check
-    (SNR parity is asserted in pytest instead)."""
+    """Multimodal binary plumbing: distributed PCM synth → decode via
+    Arrow-batched pandas. The oracle verifies the decode contract
+    (byte length and decoded sample count re-derived from the sr/dur
+    integer framing); PCM content (RMS / SNR≥30dB parity) is asserted
+    in tests/test_dsp.py and tests/test_merge.py — float waveform
+    values have no SQL-reproducible closed form."""
     import pandas as pd
 
     from olake_spark.fixtures.audio_clips import CLIP_SCHEMA, clip_row
@@ -1586,24 +1722,20 @@ def audio_synth_stats(spark, sf_dir):
 
     def stats(batches):
         for pdf in batches:
-            import numpy as _np
-
-            rms = [
-                float(_np.sqrt(_np.mean(decode_pcm_s16le(bytes(b)) ** 2)))
-                for b in pdf["bytes"]
-            ]
+            decoded = [decode_pcm_s16le(bytes(b)) for b in pdf["bytes"]]
             yield pd.DataFrame(
                 {
                     "clip_id": pdf["clip_id"],
                     "sr_hz": pdf["sr_hz"],
                     "dur_ms": pdf["dur_ms"],
                     "n_bytes": [len(bytes(b)) for b in pdf["bytes"]],
-                    "rms": [round(r, 4) for r in rms],
+                    "n_samples": [len(d) for d in decoded],
                 }
             )
 
     return clips.mapInPandas(
-        stats, schema="clip_id string, sr_hz int, dur_ms int, n_bytes long, rms double"
+        stats,
+        schema="clip_id string, sr_hz int, dur_ms int, n_bytes long, n_samples long",
     )
 
 
@@ -1844,7 +1976,8 @@ def _build_mor_history(spark, sf_dir, prefix: str):
 @_register(
     "time_travel",
     """
-    SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(12,2)) AS final_price
+    SELECT o_orderkey AS key,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS final_price
     FROM orders WHERE o_orderkey % 3 = 0
     """,
 )
@@ -1855,7 +1988,9 @@ def time_travel(spark, sf_dir):
     the reference's snapshot-isolation tests pin). ``snapshot_as_of``
     (wall-clock resolution) is covered in tests/test_changelog.py."""
     t, snap1 = _build_mor_history(spark, sf_dir, "olake_tt_q_")
-    return t.scan(snapshot_id=snap1).select("key", "final_price")
+    return t.scan(snapshot_id=snap1).select(
+        "key", F.col("final_price").cast("double").alias("final_price")
+    )
 
 
 _CHANGELOG_SQL = """
@@ -1873,12 +2008,12 @@ _CHANGELOG_SQL = """
         SELECT o_orderkey + 1000000000 AS key, CAST(1.00 AS DECIMAL(12,2)) AS final_price
         FROM orders WHERE o_orderkey % 50 = 0
     )
-    SELECT key, CAST(NULL AS DECIMAL(12,2)) AS final_price, 'delete' AS change_type
+    SELECT key, CAST(NULL AS DOUBLE) AS final_price, 'delete' AS change_type
     FROM (SELECT key FROM upd UNION SELECT key FROM dels UNION SELECT key FROM ins)
     UNION ALL
-    SELECT key, final_price, 'insert' FROM upd
+    SELECT key, CAST(final_price AS DOUBLE), 'insert' FROM upd
     UNION ALL
-    SELECT key, final_price, 'insert' FROM ins
+    SELECT key, CAST(final_price AS DOUBLE), 'insert' FROM ins
 """
 
 
@@ -1892,7 +2027,9 @@ def changelog_scan(spark, sf_dir):
     count; Iceberg incremental-append parity."""
     t, snap1 = _build_mor_history(spark, sf_dir, "olake_cl_q_")
     return t.changelog(from_snapshot_id=snap1).select(
-        "key", "final_price", F.col("_change_type").alias("change_type")
+        "key",
+        F.col("final_price").cast("double").alias("final_price"),
+        F.col("_change_type").alias("change_type"),
     )
 
 

@@ -112,7 +112,10 @@ def image_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     img.shape[0],
                     img.shape[2],
                     len(raw),
-                    round(float(img.mean()), 4),
+                    # exact mean, no rounding: the pixel sum is an exact
+                    # integer in float64, so sum/n is bit-identical to a
+                    # SQL AVG over the same integers — oracle-safe
+                    float(img.mean()),
                 )
             )
         yield pd.DataFrame(
@@ -136,7 +139,7 @@ def frame_sample_stage(stride: int = 2):
                             fi,
                             vid.shape[2],
                             vid.shape[1],
-                            round(float(vid[fi].mean()), 4),
+                            float(vid[fi].mean()),  # exact — see image_meta_stage
                         )
                     )
             yield pd.DataFrame(
