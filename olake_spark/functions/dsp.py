@@ -167,7 +167,17 @@ def clip_fingerprint(w: np.ndarray, sr: int, k: int = 2, cell_hz: float = 0.0) -
             vals.append(b)
     fp = 0
     for v in vals:
-        fp = (fp << 20) | (v & 0xFFFFF)
+        # 20 bits per peak field: raw bin indices exceed 2^20 for clips
+        # longer than ~131 s at 16 kHz (or with very fine cell_hz) —
+        # masking would silently alias distinct peaks into colliding
+        # fingerprints (false dedup merges), so overflow is an error;
+        # callers with longer clips should pass a coarser cell_hz
+        if v > 0xFFFFF:
+            raise ValueError(
+                f"fingerprint peak value {v} exceeds the 20-bit field; "
+                "use cell_hz quantization coarse enough for the clip length"
+            )
+        fp = (fp << 20) | v
     return fp
 
 
@@ -281,6 +291,12 @@ def segment_stage(frame_ms: int = 20):
             for cid, b, sr, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
                 sr = int(sr)
                 raw = bytes(b)
+                # byte slicing below assumes 2 bytes/sample; a future
+                # non-16-bit codec must widen this, not silently misalign
+                if codec != "pcm_s16le":
+                    raise NotImplementedError(
+                        f"segment_stage slices 2-byte samples; codec {codec!r} unsupported"
+                    )
                 w = _decode(raw, codec)
                 frame = max(1, sr * frame_ms // 1000)
                 lv = frame_rms_dbfs(w, sr, frame_ms=frame_ms)

@@ -78,6 +78,10 @@ def cdc_stream_merge(
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if fold_every is not None and mode != "mor":
+        # CoW has no delete files to fold — a silently ignored cadence
+        # would hide a misconfigured job
+        raise ValueError("fold_every applies only to mode='mor'")
     spark = table.spark
     schema = table.schema
     # CDC batches land as one subdirectory per batch — recurse

@@ -1,0 +1,213 @@
+"""CDC wire-format decoders: wal2json and binlog-JSON → RawRecord rows.
+
+T1/T2 as PURE transforms (reference surfaces:
+``pkg/waljs/filter.go:33-88`` — WALMessage {nextlsn, timestamp,
+change[{kind, schema, table, columnnames/types/values, oldkeys}]} →
+CDCChange; ``pkg/binlog/filter.go:36-95`` — RowsEvent {write/update/
+delete_rows, update rows as (before, after) pairs, after-image wins} →
+CDCChange; ``pkg/waljs/types.go:41-57`` message model). The DB wire
+itself (pgoutput binary, mysql binlog binary) needs a live server the
+sandbox doesn't have; wal2json and go-mysql both normalize to exactly
+these JSON shapes, which IS the surface the reference's filter layer
+consumes.
+
+Everything here is JVM-side Catalyst: ``from_json`` against an explicit
+message schema, ``map_from_arrays`` to pivot name/value arrays,
+``posexplode`` for row fan-out, ``conv`` for LSN hex math — no Python
+UDFs, so decode throughput scales with cores like any other projection.
+Heterogeneous JSON column values are parsed as strings (Spark's JSON
+reader renders any scalar token as its text) and cast to the table
+schema by ``align_batch`` — the same string-typed physical mapping the
+Kafka and JSONL landing paths use, so all three sources merge
+identically.
+
+Output contract: the table's columns + ``_op_type`` (c/u/d) +
+``_cdc_timestamp`` — the RawRecord change shape
+(types/data_types.go:63-71) that ``merge_into`` / ``merge_mor`` and the
+landing pipeline consume directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olake_spark.table.evolution import align_batch
+
+#: wal2json format-version-1 message model (pkg/waljs/types.go:41-57)
+WAL_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("nextlsn", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField(
+            "change",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("schema", T.StringType()),
+                        T.StructField("table", T.StringType()),
+                        T.StructField("columnnames", T.ArrayType(T.StringType())),
+                        T.StructField("columntypes", T.ArrayType(T.StringType())),
+                        T.StructField("columnvalues", T.ArrayType(T.StringType())),
+                        T.StructField(
+                            "oldkeys",
+                            T.StructType(
+                                [
+                                    T.StructField("keynames", T.ArrayType(T.StringType())),
+                                    T.StructField("keytypes", T.ArrayType(T.StringType())),
+                                    T.StructField("keyvalues", T.ArrayType(T.StringType())),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+#: binlog row-event model: the JSON rendering of go-mysql's RowsEvent
+#: the reference's FilterRowsEvent consumes (pkg/binlog/filter.go:36-72)
+BINLOG_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),  # write_rows|update_rows|delete_rows
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("timestamp", T.StringType()),  # header ts (or GTID µs ts)
+        T.StructField("column_names", T.ArrayType(T.StringType())),
+        T.StructField("column_types", T.ArrayType(T.StringType())),
+        T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+    ]
+)
+
+_WAL_KIND_TO_OP = {"insert": "c", "update": "u", "delete": "d"}
+_BINLOG_EVENT_TO_OP = {"write_rows": "c", "update_rows": "u", "delete_rows": "d"}
+
+
+def lsn_to_long(col) -> "F.Column":
+    """Postgres LSN "XXXXXXXX/YYYYYYYY" (two hex words) → 64-bit long:
+    hi<<32 | lo (pglogrepl.ParseLSN semantics, used on
+    WALMessage.nextlsn for offset commit). JVM-side ``conv``."""
+    parts = F.split(col, "/")
+    hi = F.conv(parts.getItem(0), 16, 10).cast("long")
+    lo = F.conv(parts.getItem(1), 16, 10).cast("long")
+    return F.shiftleft(hi, 32) + lo
+
+
+def _op_map_expr(mapping: dict[str, str]):
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return m
+
+
+def _finish(rows: DataFrame, table_schema: T.StructType) -> DataFrame:
+    """Pivot the name/value map onto the table's columns, cast through
+    the string physical mapping (binary = base64, timestamps = cast),
+    append RawRecord metadata columns."""
+    data_cols = [f for f in table_schema.fields if f.name not in ("_op_type", "_cdc_timestamp")]
+    out = rows.select(
+        *[F.col("__m").getItem(f.name).alias(f.name) for f in data_cols],
+        F.col("__op").alias("_op_type"),
+        F.col("__ts").cast("timestamp").alias("_cdc_timestamp"),
+    )
+    for f in data_cols:
+        if isinstance(f.dataType, T.BinaryType):
+            out = out.withColumn(f.name, F.unbase64(F.col(f.name)))
+    return align_batch(out, table_schema)
+
+
+def decode_wal2json(
+    raw: DataFrame,
+    table_schema: T.StructType,
+    schema_name: str,
+    table_name: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """wal2json messages (one JSON document per row in ``value_col``) →
+    RawRecord rows for one stream.
+
+    Mirrors FilterWalJsChange (pkg/waljs/filter.go:33-88): unknown
+    tables are dropped, inserts/updates read columnnames/columnvalues,
+    deletes read oldkeys (the replica-identity key set), the message
+    timestamp becomes the change timestamp, and kind maps
+    insert/update/delete → c/u/d. A column present on the wire but not
+    in the table schema is ignored; a table column missing from the
+    wire lands NULL (mid-stream schema change tolerance — align_batch).
+    """
+    msg = raw.select(
+        F.from_json(F.col(value_col).cast("string"), WAL_MESSAGE_SCHEMA).alias("__w")
+    )
+    ch = msg.select(
+        F.col("__w.timestamp").alias("__ts"),
+        F.explode(F.col("__w.change")).alias("__c"),
+    ).filter(
+        (F.col("__c.schema") == schema_name) & (F.col("__c.table") == table_name)
+    )
+    is_del = F.col("__c.kind") == "delete"
+    rows = ch.select(
+        "__ts",
+        _op_map_expr(_WAL_KIND_TO_OP)[F.col("__c.kind")].alias("__op"),
+        F.when(
+            is_del,
+            F.map_from_arrays(F.col("__c.oldkeys.keynames"), F.col("__c.oldkeys.keyvalues")),
+        )
+        .otherwise(
+            F.map_from_arrays(F.col("__c.columnnames"), F.col("__c.columnvalues"))
+        )
+        .alias("__m"),
+    ).filter(F.col("__op").isNotNull())
+    return _finish(rows, table_schema)
+
+
+def wal2json_next_lsn(raw: DataFrame, value_col: str = "value") -> int | None:
+    """Max nextlsn across a batch of wal2json messages, as the 64-bit
+    LSN long — the offset to ACK after the batch commits (T5: commit
+    offset only after successful write, cdc.go:90-98). Tiny agg."""
+    r = (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), WAL_MESSAGE_SCHEMA).alias("__w")
+        )
+        .select(lsn_to_long(F.col("__w.nextlsn")).alias("__lsn"))
+        .agg(F.max("__lsn").alias("m"))
+        .first()
+    )
+    return None if r is None or r["m"] is None else int(r["m"])
+
+
+def decode_binlog_rows(
+    raw: DataFrame,
+    table_schema: T.StructType,
+    schema_name: str,
+    table_name: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """binlog row events (one JSON document per row in ``value_col``)
+    → RawRecord rows for one stream.
+
+    Mirrors FilterRowsEvent (pkg/binlog/filter.go:36-95): unknown
+    tables and event types are dropped; ``update_rows`` carries
+    (before, after) image pairs and only the AFTER images (odd
+    positions) survive; write/update/delete map to c/u/d; the event
+    timestamp becomes the change timestamp.
+    """
+    msg = raw.select(
+        F.from_json(F.col(value_col).cast("string"), BINLOG_EVENT_SCHEMA).alias("__e")
+    ).filter(
+        (F.col("__e.schema") == schema_name) & (F.col("__e.table") == table_name)
+    )
+    fan = msg.select(
+        F.col("__e.timestamp").alias("__ts"),
+        _op_map_expr(_BINLOG_EVENT_TO_OP)[F.col("__e.event_type")].alias("__op"),
+        F.col("__e.column_names").alias("__names"),
+        F.posexplode(F.col("__e.rows")).alias("__pos", "__vals"),
+    ).filter(F.col("__op").isNotNull())
+    # update events: rows = [before, after, before, after, ...] — keep
+    # after-images only (filter.go:62-68)
+    fan = fan.filter((F.col("__op") != "u") | (F.col("__pos") % 2 == 1))
+    rows = fan.select(
+        "__ts",
+        "__op",
+        F.map_from_arrays(F.col("__names"), F.col("__vals")).alias("__m"),
+    )
+    return _finish(rows, table_schema)

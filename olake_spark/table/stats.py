@@ -2,10 +2,18 @@
 
 After a Spark write, we read only the footers (not the data) of the
 produced files to build manifest entries: row counts, byte sizes, and
-min/max bounds for the tracked stats columns. Footer reads are a few
-KiB each and parallelized with a thread pool on the driver; at fleet
-scale this same harvest runs as a Spark job over file paths (the
-function below is partition-shippable — pure paths in, rows out).
+min/max bounds for the tracked stats columns. Two execution paths with
+identical output:
+
+- driver thread pool (``harvest``): footer reads are a few KiB each —
+  for up-to-hundreds of files the driver finishes before a Spark job
+  could even schedule.
+- Spark job (``harvest_distributed``): above ``DISTRIBUTED_THRESHOLD``
+  files the driver would serialize metadata IO; the same pure
+  paths-in/entries-out function runs as an RDD ``mapPartitions`` over
+  the path list (executors read footers locally in parallel), and only
+  the manifest-sized entry rows return to the driver. This is the path
+  a million-file commit takes at fleet scale.
 """
 
 from __future__ import annotations
@@ -16,6 +24,11 @@ from concurrent.futures import ThreadPoolExecutor
 import pyarrow.parquet as papq
 
 from olake_spark.table.format import DataFileEntry
+
+#: switch write_datafiles harvesting to the Spark-job path above this
+#: many files per commit (footer ≈ ms each; below this the job-launch
+#: overhead dominates)
+DISTRIBUTED_THRESHOLD = 256
 
 DEFAULT_STATS_COLS = ["_olake_id", "clip_id", "_cdc_timestamp", "dur_ms", "sr_hz"]
 
@@ -81,3 +94,61 @@ def harvest(
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(ex.map(one, files))
+
+
+def harvest_distributed(
+    spark,
+    location: str,
+    files: list[tuple[str, str]],  # (abs_path, partition)
+    stats_cols: list[str],
+    slices: int | None = None,
+) -> list[DataFileEntry]:
+    """Footer harvest as a Spark job: ship (path, partition) pairs to
+    executors, read footers there, return manifest entries. Entries are
+    tiny (a few hundred bytes) so the collect is manifest-scale, never
+    data-scale. Output is byte-identical to ``harvest`` — pytest pins
+    the equivalence.
+
+    The closure captures only (location, stats_cols) strings; the
+    harvesting logic is the same module-level ``file_entry`` the driver
+    path uses, so the two paths cannot drift.
+    """
+    if not files:
+        return []
+    sc = spark.sparkContext
+    n = slices or min(len(files), sc.defaultParallelism * 4)
+
+    def part(items):
+        out = []
+        for abs_path, partition in items:
+            rel = os.path.relpath(abs_path, location)
+            e = file_entry(abs_path, rel, partition, stats_cols)
+            out.append(
+                (
+                    e.path,
+                    e.partition,
+                    e.record_count,
+                    e.file_size_bytes,
+                    e.lower_bounds,
+                    e.upper_bounds,
+                )
+            )
+        return out
+
+    rows = sc.parallelize(files, n).mapPartitions(part).collect()
+    entries = [
+        DataFileEntry(
+            path=p,
+            partition=pt,
+            record_count=rc,
+            file_size_bytes=sz,
+            lower_bounds=lo,
+            upper_bounds=hi,
+        )
+        for p, pt, rc, sz, lo, hi in rows
+    ]
+    # keep driver-path ordering (input file order) so manifests are
+    # deterministic regardless of partition completion order
+    order = {os.path.relpath(a, location): i for i, (a, _) in enumerate(files)}
+    entries.sort(key=lambda e: order[e.path])
+    return entries

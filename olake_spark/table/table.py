@@ -463,7 +463,14 @@ class Table:
                 d = os.path.relpath(os.path.dirname(p), out_dir)
                 partition = "" if d == "." else d
             files.append((p, partition))
-        entries = stats_mod.harvest(self.location, files, self.stats_cols)
+        if len(files) > stats_mod.DISTRIBUTED_THRESHOLD:
+            # fleet-scale commits: harvest footers as a Spark job so the
+            # driver never serializes per-file metadata IO
+            entries = stats_mod.harvest_distributed(
+                self.spark, self.location, files, self.stats_cols
+            )
+        else:
+            entries = stats_mod.harvest(self.location, files, self.stats_cols)
         if content != fmt.CONTENT_DATA:
             for e in entries:
                 e.content = content

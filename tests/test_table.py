@@ -135,3 +135,49 @@ class TestTable:
         assert len(entries) >= 4  # 100 rows / 30-row budget
         assert all(e.record_count <= 30 for e in entries)
         assert sum(e.record_count for e in entries) == 100
+
+
+class TestDistributedHarvest:
+    def test_spark_job_harvest_matches_driver_path(self, spark, tmp_table_dir):
+        """The Spark-job footer harvest must be byte-identical to the
+        driver thread-pool path (same file_entry function executes in
+        both; this pins that the RDD round-trip loses nothing)."""
+        from olake_spark.table import stats as stats_mod
+
+        t = Table.create(
+            spark, tmp_table_dir, "harv", FULL_SCHEMA, identifier_fields=["_olake_id"]
+        )
+        entries = t.write_datafiles(generate_clips(spark, 200, partitions=8))
+        files = [
+            (os.path.join(t.location, e.path), e.partition) for e in entries
+        ]
+        driver_side = stats_mod.harvest(t.location, files, t.stats_cols)
+        spark_side = stats_mod.harvest_distributed(
+            spark, t.location, files, t.stats_cols
+        )
+        assert driver_side == spark_side
+
+    def test_write_datafiles_switches_above_threshold(
+        self, spark, tmp_table_dir, monkeypatch
+    ):
+        """Above DISTRIBUTED_THRESHOLD files per commit the harvest runs
+        as a Spark job (fleet-scale path); entries stay correct."""
+        from olake_spark.table import stats as stats_mod
+
+        monkeypatch.setattr(stats_mod, "DISTRIBUTED_THRESHOLD", 2)
+        called = {}
+        real = stats_mod.harvest_distributed
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return real(*a, **kw)
+
+        monkeypatch.setattr(stats_mod, "harvest_distributed", spy)
+        t = Table.create(
+            spark, tmp_table_dir, "harv2", FULL_SCHEMA, identifier_fields=["_olake_id"]
+        )
+        entries = t.write_datafiles(generate_clips(spark, 120, partitions=6))
+        assert called.get("yes")
+        assert len(entries) == 6
+        assert sum(e.record_count for e in entries) == 120
+        assert all(e.lower_bounds.get("_olake_id") for e in entries)

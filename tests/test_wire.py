@@ -1,0 +1,177 @@
+"""T1/T2 wire decoders vs reference-shaped payloads
+(pkg/waljs/filter.go:33-88, pkg/binlog/filter.go:36-95)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olake_spark.streaming.wire import (
+    decode_binlog_rows,
+    decode_wal2json,
+    lsn_to_long,
+    wal2json_next_lsn,
+)
+
+TBL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("_op_type", T.StringType()),
+        T.StructField("_cdc_timestamp", T.TimestampType()),
+    ]
+)
+
+
+def _wal_msg(nextlsn, ts, changes):
+    return json.dumps({"nextlsn": nextlsn, "timestamp": ts, "change": changes})
+
+
+def _chg(kind, cols=None, oldkeys=None, schema="public", table="clips"):
+    c = {"kind": kind, "schema": schema, "table": table}
+    if cols is not None:
+        c["columnnames"] = [k for k, _ in cols]
+        c["columntypes"] = ["bigint" if isinstance(v, int) else "text" for _, v in cols]
+        c["columnvalues"] = [v for _, v in cols]
+    if oldkeys is not None:
+        c["oldkeys"] = {
+            "keynames": [k for k, _ in oldkeys],
+            "keytypes": ["bigint"],
+            "keyvalues": [v for _, v in oldkeys],
+        }
+    return c
+
+
+class TestWal2Json:
+    def test_insert_update_delete(self, spark):
+        b64 = base64.b64encode(b"\x01\x02").decode()
+        msgs = [
+            _wal_msg(
+                "0/1A2B3C4D",
+                "2026-01-01 00:00:01",
+                [
+                    _chg("insert", cols=[("id", 1), ("name", "alpha"), ("payload", b64)]),
+                    _chg("update", cols=[("id", 2), ("name", "beta2"), ("payload", b64)]),
+                ],
+            ),
+            _wal_msg(
+                "0/1A2B3C9D",
+                "2026-01-01 00:00:02",
+                [_chg("delete", oldkeys=[("id", 2)])],
+            ),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        out = decode_wal2json(raw, TBL_SCHEMA, "public", "clips")
+        assert out.schema == TBL_SCHEMA
+        rows = {(r["id"], r["_op_type"]): r for r in out.collect()}
+        assert set(rows) == {(1, "c"), (2, "u"), (2, "d")}
+        assert rows[(1, "c")]["name"] == "alpha"
+        assert bytes(rows[(1, "c")]["payload"]) == b"\x01\x02"
+        assert rows[(2, "d")]["name"] is None  # delete carries keys only
+        assert rows[(2, "d")]["_cdc_timestamp"].second == 2
+
+    def test_unknown_table_dropped(self, spark):
+        msgs = [
+            _wal_msg(
+                "0/10",
+                "2026-01-01 00:00:01",
+                [
+                    _chg("insert", cols=[("id", 1), ("name", "x")], table="other"),
+                    _chg("insert", cols=[("id", 2), ("name", "y")], schema="audit"),
+                ],
+            )
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        assert decode_wal2json(raw, TBL_SCHEMA, "public", "clips").count() == 0
+
+    def test_mid_stream_schema_change(self, spark):
+        """A new wire column is ignored; a missing table column lands
+        NULL (the reference re-derives the stream schema and keeps
+        going — evolution.align_batch is our half of that)."""
+        msgs = [
+            _wal_msg(
+                "0/20",
+                "2026-01-01 00:00:03",
+                [
+                    _chg("insert", cols=[("id", 7), ("name", "n7"), ("extra_col", "zz")]),
+                    _chg("insert", cols=[("id", 8)]),
+                ],
+            )
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        got = {r["id"]: r for r in decode_wal2json(raw, TBL_SCHEMA, "public", "clips").collect()}
+        assert got[7]["name"] == "n7" and "extra_col" not in TBL_SCHEMA.names
+        assert got[8]["name"] is None and got[8]["payload"] is None
+
+    def test_next_lsn(self, spark):
+        msgs = [
+            _wal_msg("0/1A2B3C4D", "2026-01-01 00:00:01", []),
+            _wal_msg("1/00000002", "2026-01-01 00:00:02", []),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        assert wal2json_next_lsn(raw) == (1 << 32) + 2
+
+    def test_lsn_to_long_column(self, spark):
+        df = spark.createDataFrame([("16/B374D848",)], "lsn string")
+        got = df.select(lsn_to_long(F.col("lsn")).alias("v")).first()["v"]
+        assert got == (0x16 << 32) + 0xB374D848
+
+
+def _binlog_evt(event_type, rows, ts="2026-01-02 00:00:05", schema="app", table="clips"):
+    return json.dumps(
+        {
+            "event_type": event_type,
+            "schema": schema,
+            "table": table,
+            "timestamp": ts,
+            "column_names": ["id", "name", "payload"],
+            "column_types": ["bigint", "text", "blob"],
+            "rows": rows,
+        }
+    )
+
+
+class TestBinlog:
+    def test_write_update_delete(self, spark):
+        b64 = base64.b64encode(b"pcm").decode()
+        msgs = [
+            _binlog_evt("write_rows", [[1, "a", b64], [2, "b", b64]]),
+            # update rows are (before, after) pairs — after wins
+            _binlog_evt(
+                "update_rows",
+                [[1, "a", b64], [1, "a2", b64], [2, "b", b64], [2, "b2", b64]],
+            ),
+            _binlog_evt("delete_rows", [[1, "a2", b64]]),
+            _binlog_evt("write_rows", [[9, "other", b64]], table="not_ours"),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        out = decode_binlog_rows(raw, TBL_SCHEMA, "app", "clips")
+        assert out.schema == TBL_SCHEMA
+        rows = sorted(
+            ((r["id"], r["_op_type"], r["name"]) for r in out.collect())
+        )
+        assert rows == [
+            (1, "c", "a"),
+            (1, "d", "a2"),
+            (1, "u", "a2"),
+            (2, "c", "b"),
+            (2, "u", "b2"),
+        ]
+
+    def test_feeds_merge_shape(self, spark):
+        """Decoded rows carry the RawRecord contract merge_into needs:
+        _op_type + _cdc_timestamp typed, binary decoded."""
+        b64 = base64.b64encode(b"\x00\x01").decode()
+        raw = spark.createDataFrame(
+            [(_binlog_evt("write_rows", [[5, "n", b64]]),)], "value string"
+        )
+        out = decode_binlog_rows(raw, TBL_SCHEMA, "app", "clips")
+        r = out.first()
+        assert r["_op_type"] == "c"
+        assert r["_cdc_timestamp"] is not None
+        assert bytes(r["payload"]) == b"\x00\x01"
