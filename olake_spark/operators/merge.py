@@ -18,8 +18,13 @@ Scale design:
   manifest's per-file [min,max] key bounds (the manifest is tiny next
   to the data → broadcast). Untouched files are carried over at zero
   IO cost by the replace commit.
-- the join is hinted MERGE (sort-merge), both sides shuffled on the
-  key — no driver-side collect of data rows anywhere.
+- the merge is sort-based (north-rule mandate): on the analytic
+  hex-key path the sort-merge join's sort+merge phases are FUSED with
+  batch dedup and the write fanout into a single
+  Exchange(range-id) + per-partition sort + top-1 window — the whole
+  upsert moves each payload row through exactly one shuffle. The
+  generic-key path keeps a literal ``hint("merge")`` full-outer SMJ.
+  No driver-side collect of data rows anywhere.
 - output files are range-partitioned + sorted on the key, so bounds
   stay tight and the *next* merge prunes well (self-sustaining).
 """
@@ -100,10 +105,11 @@ def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[
             F.col("lo").cast(key_type).alias("lo"),
             F.col("hi").cast(key_type).alias("hi"),
         )
-        # manifest-scale DF (one row per file) — the two collects below
-        # are metadata ops, never data-proportional
-        bad = bounds.filter(F.col("lo").isNull() | F.col("hi").isNull())
-        affected.update(r["path"] for r in bad.select("path").collect())
+        # manifest-scale DF (one row per file) — ONE collect for both the
+        # cast-failure paths and the range hits (metadata op, never
+        # data-proportional; a second action would pay another full
+        # Catalyst plan + job-scheduling round trip on the source plan)
+        bad = bounds.filter(F.col("lo").isNull() | F.col("hi").isNull()).select("path")
         hit = (
             source_keys.select(F.col(key).alias("__k"))
             .distinct()
@@ -115,7 +121,7 @@ def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[
             .select("path")
             .distinct()
         )
-        affected.update(r["path"] for r in hit.collect())
+        affected.update(r["path"] for r in hit.unionAll(bad).collect())
     return sorted(affected)
 
 
@@ -177,19 +183,6 @@ def merge_into(
     aff_entries = [entry_by_path[p] for p in affected]
     target_sub = table.scan(entries=aff_entries)
 
-    t, s = target_sub.alias("t"), dedup_batch(source, key).alias("s")
-    cond = F.col(f"t.{key}") == F.col(f"s.{key}")
-    joined = t.join(s.hint("merge"), cond, "full_outer")  # sort-merge mandated
-
-    src_present = F.col(f"s.{key}").isNotNull()
-    cols = [
-        F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-        for c in target_sub.columns
-    ]
-    merged = joined.filter(
-        F.coalesce(F.col("s._op_type"), F.lit("")) != F.lit("d")
-    ).select(*cols)
-
     # size the output: surviving target bytes + source contribution
     aff_bytes = sum(e.file_size_bytes for e in aff_entries)
     aff_rows = sum(e.record_count for e in aff_entries) or 1
@@ -206,18 +199,84 @@ def merge_into(
     # pass. repartitionByRange would sample its child, re-executing the
     # whole merge join a second time just to find boundaries.
     if _uniform_hex_key(table, key):
+        # SINGLE-EXCHANGE sorted merge: the sort-merge join's sort and
+        # merge phases are fused with batch dedup AND the write fanout.
+        # Target rows (seq 0) and raw source rows (seq 1) are unioned,
+        # hash-partitioned ONCE on the analytic range id, and resolved
+        # by a per-(rid, key) window ordered by (seq desc, then the
+        # dedup total order) — the top row per key is the post-dedup
+        # source winner when the batch touches the key, else the target
+        # row; a 'd' winner removes the key. This is exactly the
+        # full-outer SMJ + dedup_batch result, but the plan is ONE
+        # Exchange(hashpartitioning(__rid)) + a local sort:
+        # HashPartitioning([__rid]) satisfies the window's
+        # ClusteredDistribution([__rid, key]) (subset rule), Spark adds
+        # WindowGroupLimit (top-1 pruned before materializing), and the
+        # output is already write-fanout-partitioned AND sorted, so the
+        # writer skips both its repartition and its sort (shuffle=False).
+        # The naive plan (dedup exchange on key, SMJ exchange on key,
+        # then repartition on __rid) moves every ~10 KB payload row
+        # through the shuffle machinery twice — and an SMJ can't reuse a
+        # subset-key partitioning: EnsureRequirements rewrites a user
+        # repartition(__rid) into its own full-key exchange (verified
+        # empirically; co-partitioning requires all join keys).
         rid = (
             F.conv(F.substring(F.col(key), 1, 4), 16, 10).cast("long")
             * n_files / 65536
         ).cast("int")
+        tcols = target_sub.columns
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        s_u = (
+            source.withColumn("__op", F.col("_op_type"))
+            .withColumn("__seq", F.lit(1))
+            .withColumn("__cts", F.col("_cdc_timestamp"))
+            .withColumn("__pri", _op_priority_col())
+            .withColumn("__ots", F.col("_olake_timestamp"))
+            .select(*tcols, "__op", "__seq", "__cts", "__pri", "__ots")
+        )
+        t_u = (
+            target_sub.withColumn("__op", F.lit(None).cast("string"))
+            .withColumn("__seq", F.lit(0))
+            .withColumn("__cts", F.lit(None).cast(src_types["_cdc_timestamp"]))
+            .withColumn("__pri", F.lit(None).cast("int"))
+            .withColumn("__ots", F.lit(None).cast(src_types["_olake_timestamp"]))
+            .select(*tcols, "__op", "__seq", "__cts", "__pri", "__ots")
+        )
+        u = t_u.unionByName(s_u).withColumn("__rid", rid).repartition(
+            n_files, "__rid"
+        )
+        w = Window.partitionBy("__rid", key).orderBy(
+            F.desc("__seq"), F.desc("__cts"), F.desc("__pri"), F.desc("__ots")
+        )
+        merged = (
+            u.withColumn("__rn", F.row_number().over(w))
+            .filter(
+                (F.col("__rn") == 1)
+                & (F.coalesce(F.col("__op"), F.lit("")) != F.lit("d"))
+            )
+            .select("__rid", *tcols)
+        )
         new_entries = table.write_datafiles(
-            merged.withColumn("__rid", rid),
+            merged,
             fanout_col="__rid",
             num_groups=n_files,
             sort_within=[key],
             max_records_per_file=roll_rows,
+            shuffle=False,
         )
     else:
+        s = dedup_batch(source, key)
+        t, s_al = target_sub.alias("t"), s.alias("s")
+        cond = F.col(f"t.{key}") == F.col(f"s.{key}")
+        joined = t.join(s_al.hint("merge"), cond, "full_outer")  # sort-merge mandated
+        src_present = F.col(f"s.{key}").isNotNull()
+        cols = [
+            F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in target_sub.columns
+        ]
+        merged = joined.filter(
+            F.coalesce(F.col("s._op_type"), F.lit("")) != F.lit("d")
+        ).select(*cols)
         new_entries = table.write_datafiles(
             merged,
             range_partition_cols=[key],
@@ -377,12 +436,34 @@ def fold_deletes(
 
     new_entries: list = []
     if aff_entries:
-        # scan applies the deletes; only affected files are read + rewritten
-        survivors = table.scan(entries=aff_entries)
-        aff_bytes = sum(e.file_size_bytes for e in aff_entries) or 1
-        n_files = max(1, math.ceil(aff_bytes / target_file_size))
+        # scan applies the deletes; only affected files are read + rewritten.
+        # FILE-PRESERVING rewrite: each affected file already covers a
+        # tight key range (outputs are range-partitioned everywhere), and
+        # dropping deleted rows never widens it — so each input file maps
+        # to one output group via a broadcast path→group join and the
+        # write needs NO shuffle at all (the delete anti-join broadcasts
+        # its tiny side too, so the whole fold is one map-side pass).
+        # The previous repartitionByRange(key) plan both shuffled the
+        # full payload AND sampled its child — re-executing the entire
+        # scan+anti-join a second time just to find boundaries.
+        survivors = table.scan(entries=aff_entries, file_col="__file")
+        plan_rows = [
+            (os.path.basename(e.path), i) for i, e in enumerate(aff_entries)
+        ]
+        plan_df = table.spark.createDataFrame(plan_rows, "__file string, __rid int")
+        survivors = survivors.join(
+            F.broadcast(plan_df), "__file", "inner"
+        ).drop("__file")
+        aff_bytes = sum(e.file_size_bytes for e in aff_entries)
+        aff_rows = sum(e.record_count for e in aff_entries) or 1
+        roll_rows = max(1, int(target_file_size / max(1.0, aff_bytes / aff_rows)))
         new_entries = table.write_datafiles(
-            survivors, range_partition_cols=[key], num_groups=n_files
+            survivors,
+            fanout_col="__rid",
+            num_groups=len(aff_entries),
+            sort_within=[key],
+            max_records_per_file=roll_rows,
+            shuffle=False,
         )
     snap = table.commit_replace(
         set(affected) | {e.path for e in dels},

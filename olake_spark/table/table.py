@@ -143,8 +143,15 @@ class Table:
         snapshot_id: int | None = None,
         entries: list[DataFileEntry] | None = None,
         apply_deletes: bool = True,
+        file_col: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: resolve the file list at plan time.
+
+        ``file_col``: attach the source part-file BASENAME under this
+        column name (from ``_metadata.file_path``, which is only
+        resolvable directly on the parquet relation) — callers like
+        ``fold_deletes`` use it to map rows back to manifest entries
+        without a per-file union scan.
 
         Filters/projections applied by the caller on the returned
         DataFrame still push down to the parquet scans (Catalyst sees a
@@ -165,8 +172,15 @@ class Table:
         data = [e for e in entries if e.content != fmt.CONTENT_DELETES]
         paths = [os.path.join(self.location, e.path) for e in data]
         if not paths:
-            return self.spark.createDataFrame([], self.schema)
+            df = self.spark.createDataFrame([], self.schema)
+            if file_col is not None:
+                df = df.withColumn(file_col, F.lit(None).cast("string"))
+            return df
         df = self.spark.read.schema(self.schema).parquet(*paths)
+        if file_col is not None:
+            df = df.withColumn(
+                file_col, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            )
         dels = self.delete_entries(snapshot_id) if apply_deletes else []
         if not dels:
             return df
@@ -411,6 +425,7 @@ class Table:
         range_partition_cols: list[str] | None = None,
         content: str = fmt.CONTENT_DATA,
         max_records_per_file: int | None = None,
+        shuffle: bool = True,
     ) -> list[DataFileEntry]:
         """Distributed write into data/<uuid>/; returns manifest entries.
 
@@ -418,6 +433,14 @@ class Table:
         on it and written with partitionBy so each group is exactly one
         output file (the column itself is stripped by partitionBy; real
         table columns all remain in the data files, Iceberg-style).
+
+        shuffle=False (fanout_col only): the caller guarantees rows are
+        ALREADY co-located by fanout_col (e.g. the merge join's own
+        exchange hash-partitioned on the range id, or a scan whose
+        input files map 1:1 to fanout groups). The repartition is
+        skipped — partitionBy alone splits each task's rows per group —
+        saving a full payload shuffle. If the guarantee is violated the
+        result is still correct, just more files (one per task×group).
 
         range_partition_cols: range-partition + sort by these columns
         instead — each output file covers a tight key range, so the
@@ -442,8 +465,9 @@ class Table:
 
         writer = df
         if fanout_col is not None:
-            n = num_groups or self.spark.sparkContext.defaultParallelism
-            writer = df.repartition(n, F.col(fanout_col))
+            if shuffle:
+                n = num_groups or self.spark.sparkContext.defaultParallelism
+                writer = df.repartition(n, F.col(fanout_col))
             if sort_within:
                 writer = writer.sortWithinPartitions(fanout_col, *sort_within)
             _sink(writer).partitionBy(fanout_col).parquet(out_dir)
