@@ -53,12 +53,13 @@ def _rewrite_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFi
     fanout-write one file per bin."""
     paths = [p for b in bins for p, _ in b.items]
     src_entries = [entry_by_path[p] for p in paths]
-    # normalize URI (file:/, file:///) → plain absolute path on both sides
-    df = table.scan(entries=src_entries).withColumn(
-        "__file", F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/+", "/")
-    )
+    # file identity rides in via scan's file_col (normalized absolute
+    # path — never the basename, which collides across fanout dirs)
+    df = table.scan(entries=src_entries, file_col="__file")
     rows = [
-        (os.path.join(table.location, p), b.bin_id) for b in bins for p, _ in b.items
+        (table.abs_entry_path(entry_by_path[p]), b.bin_id)
+        for b in bins
+        for p, _ in b.items
     ]
     plan_df = table.spark.createDataFrame(rows, f"__file string, {FANOUT_COL} int")
     binned = df.join(F.broadcast(plan_df), "__file", "inner").drop("__file")

@@ -448,7 +448,7 @@ def fold_deletes(
         # scan+anti-join a second time just to find boundaries.
         survivors = table.scan(entries=aff_entries, file_col="__file")
         plan_rows = [
-            (os.path.basename(e.path), i) for i, e in enumerate(aff_entries)
+            (table.abs_entry_path(e), i) for i, e in enumerate(aff_entries)
         ]
         plan_df = table.spark.createDataFrame(plan_rows, "__file string, __rid int")
         survivors = survivors.join(

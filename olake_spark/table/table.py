@@ -23,7 +23,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -37,6 +37,21 @@ DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
 
 COMMIT_RETRIES = 3
 COMMIT_BACKOFF_S = 0.2
+
+
+def _fpath_col() -> Column:
+    """Normalized absolute path of each row's source parquet file:
+    ``_metadata.file_path`` with the URI scheme (``file:/``,
+    ``file:///``) stripped to a plain absolute path.
+
+    ALWAYS key file-identity joins on this FULL path, never on the
+    part-file basename: a partitionBy fanout write reuses one task's
+    filename in every partition directory (``__rid=0/part-00000-X``,
+    ``__rid=1/part-00000-X``, ...), so basenames collide even within a
+    single commit — a basename-keyed broadcast join silently multiplies
+    rows.
+    """
+    return F.regexp_replace(F.col("_metadata.file_path"), "^[a-z][a-z0-9+.-]*:/+", "/")
 
 
 class CommitConflict(Exception):
@@ -136,6 +151,12 @@ class Table:
     def live_paths(self, snapshot_id: int | None = None) -> set[str]:
         return {e.path for e in self.entries(snapshot_id)}
 
+    def abs_entry_path(self, e: DataFileEntry) -> str:
+        """Absolute filesystem path of a manifest entry, normalized to
+        match ``_fpath_col()`` — the one true join key for mapping scan
+        rows back to manifest entries (never the basename)."""
+        return os.path.normpath(os.path.join(self.location, e.path))
+
     # ------------------------------------------------------------ scans
 
     def scan(
@@ -147,11 +168,12 @@ class Table:
     ) -> DataFrame:
         """Snapshot-isolated read: resolve the file list at plan time.
 
-        ``file_col``: attach the source part-file BASENAME under this
-        column name (from ``_metadata.file_path``, which is only
-        resolvable directly on the parquet relation) — callers like
-        ``fold_deletes`` use it to map rows back to manifest entries
-        without a per-file union scan.
+        ``file_col``: attach the source file's normalized absolute
+        path under this column name (from ``_metadata.file_path``,
+        which is only resolvable directly on the parquet relation) —
+        callers like ``fold_deletes`` and ``compact`` join it against
+        ``abs_entry_path`` to map rows back to manifest entries without
+        a per-file union scan.
 
         Filters/projections applied by the caller on the returned
         DataFrame still push down to the parquet scans (Catalyst sees a
@@ -178,9 +200,7 @@ class Table:
             return df
         df = self.spark.read.schema(self.schema).parquet(*paths)
         if file_col is not None:
-            df = df.withColumn(
-                file_col, F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-            )
+            df = df.withColumn(file_col, _fpath_col())
         dels = self.delete_entries(snapshot_id) if apply_deletes else []
         if not dels:
             return df
@@ -194,35 +214,37 @@ class Table:
     ) -> DataFrame:
         """Scan-side application of equality deletes.
 
-        Sequence numbers ride in via a tiny broadcast (file name → the
-        entry's added_snapshot_id; Spark part-file names are unique per
-        write job) joined on ``_metadata.file_path``, so the big data
-        scan stays ONE multi-file parquet relation — no per-file union.
+        Sequence numbers ride in via a tiny broadcast (normalized
+        file path → the entry's added_snapshot_id) joined on
+        ``_metadata.file_path``, so the big data scan stays ONE
+        multi-file parquet relation — no per-file union. The join key is
+        the FULL path (see ``_fpath_col``): basenames collide across
+        fanout-written partition directories.
         The anti-join itself is an equi-join on the equality key with
         the strict sequence comparison as a residual condition: shuffled
         on the key, never a nested loop; delete files are tiny relative
         to data, so Catalyst broadcasts that side at runtime (AQE).
         """
         key_cols = self.meta.identifier_fields or ["_olake_id"]
-        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        fpath = _fpath_col()
 
-        seq_rows = [(os.path.basename(e.path), e.added_snapshot_id) for e in data]
-        seq_df = self.spark.createDataFrame(seq_rows, "__fname string, __seq long")
+        seq_rows = [(self.abs_entry_path(e), e.added_snapshot_id) for e in data]
+        seq_df = self.spark.createDataFrame(seq_rows, "__fpath string, __seq long")
         df = (
-            df.withColumn("__fname", fname)
-            .join(F.broadcast(seq_df), "__fname", "left")
-            .drop("__fname")
+            df.withColumn("__fpath", fpath)
+            .join(F.broadcast(seq_df), "__fpath", "left")
+            .drop("__fpath")
         )
 
         del_paths = [os.path.join(self.location, e.path) for e in dels]
-        dseq_rows = [(os.path.basename(e.path), e.added_snapshot_id) for e in dels]
-        dseq_df = self.spark.createDataFrame(dseq_rows, "__fname string, __dseq long")
+        dseq_rows = [(self.abs_entry_path(e), e.added_snapshot_id) for e in dels]
+        dseq_df = self.spark.createDataFrame(dseq_rows, "__fpath string, __dseq long")
         key_schema = T.StructType([f for f in self.schema.fields if f.name in key_cols])
         del_df = (
             self.spark.read.schema(key_schema)
             .parquet(*del_paths)
-            .withColumn("__fname", fname)
-            .join(F.broadcast(dseq_df), "__fname")
+            .withColumn("__fpath", fpath)
+            .join(F.broadcast(dseq_df), "__fpath")
             .select(*[F.col(c).alias(f"__d_{c}") for c in key_cols], "__dseq")
         )
         cond = F.col("__seq") < F.col("__dseq")
@@ -368,17 +390,17 @@ class Table:
                 T.StructField("_commit_snapshot_id", T.LongType()),
             ]
         )
-        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        fpath = _fpath_col()
 
         def _tag(entries: list[DataFileEntry], read_schema: T.StructType) -> DataFrame:
             paths = [os.path.join(self.location, e.path) for e in entries]
-            snap_rows = [(os.path.basename(e.path), e.added_snapshot_id) for e in entries]
-            snap_df = self.spark.createDataFrame(snap_rows, "__fname string, __snap long")
+            snap_rows = [(self.abs_entry_path(e), e.added_snapshot_id) for e in entries]
+            snap_df = self.spark.createDataFrame(snap_rows, "__fpath string, __snap long")
             return (
                 self.spark.read.schema(read_schema)
                 .parquet(*paths)
-                .withColumn("__fname", fname)
-                .join(F.broadcast(snap_df), "__fname")
+                .withColumn("__fpath", fpath)
+                .join(F.broadcast(snap_df), "__fpath")
             )
 
         parts: list[DataFrame] = []

@@ -153,3 +153,29 @@ def test_rewrite_operators_fold_deletes_first(spark, tmp_path):
     cluster(t, curve="zorder", row_weight="length(bytes) + 64")
     assert len(t.delete_entries()) == 0
     assert _content_hash(t) == before2
+
+
+def test_fold_after_fanout_rewrite_keeps_scan_exact(spark, tmp_path):
+    """Regression: fanout (partitionBy) writes reuse ONE task filename
+    in every partition directory, so part-file basenames collide within
+    a single commit. A file-identity join keyed on the basename (scan's
+    sequence map, fold's file→group plan) silently multiplies rows —
+    this pins the full-path join across two MoR+fold cycles where the
+    second cycle scans a fanout-rewritten (colliding-basename) table."""
+    t = _mk_table(spark, str(tmp_path / "tbl"))
+    merge_mor(t, cdc_batch(spark, BASE_N, 1, updates=6))
+    merge_mor(t, cdc_batch(spark, BASE_N, 2, deletes=4))
+    fold_deletes(t)
+    # the fold rewrote files via partitionBy fanout: basenames collide
+    import os
+    bases = [os.path.basename(e.path) for e in t.data_entries()]
+    assert len(set(bases)) < len(bases), "fixture no longer exercises collisions"
+    assert t.scan().count() == BASE_N - 4
+
+    merge_mor(t, cdc_batch(spark, BASE_N, 3, inserts=3))
+    assert t.scan().count() == BASE_N - 4 + 3  # scan over colliding names
+    fold_deletes(t)
+    assert t.delete_entries() == []
+    assert t.scan().count() == BASE_N - 4 + 3
+    # one row per key — no silent multiplication anywhere
+    assert t.scan().select("_olake_id").distinct().count() == BASE_N - 4 + 3
