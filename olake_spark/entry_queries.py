@@ -30,6 +30,7 @@ from olake_spark.functions.transforms import (
     hour_transform,
     month_transform,
     partition_path,
+    partition_path_template,
     truncate_int,
     year_transform,
 )
@@ -808,6 +809,33 @@ def partition_path_encode(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.groupBy(
         partition_path(status="o_orderstatus", priority="o_orderpriority").alias("path")
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "partition_template",
+    """
+    SELECT concat(o_orderstatus, '/y/',
+                  CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR), '/m/',
+                  lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0'),
+                  '/fell') AS path,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def partition_template(spark, sf_dir):
+    """W8: the reference's `/{col,'fallback',granularity}` partition-path
+    template (destination/parquet/parquet.go:397-466) rendered per row as
+    a pure-Column expression — placeholder substitution, YYYY/MM
+    granularity zero-padding, and missing-column fallback all exercised
+    against a SQL oracle."""
+    o = _t(spark, sf_dir, "orders")
+    pat = (
+        "/{o_orderstatus,'u',}/y/{o_orderdate,'nd',YYYY}"
+        "/m/{o_orderdate,'nd',MM}/{absent_col,'fell',}"
+    )
+    return o.groupBy(
+        partition_path_template(pat, o).alias("path")
     ).agg(F.count("*").alias("n"))
 
 

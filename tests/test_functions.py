@@ -178,3 +178,74 @@ class TestAudio:
     def test_decode_stub(self):
         with pytest.raises(NotImplementedError):
             decode_clip(b"\x00", "opus")
+
+
+class TestPartitionPathTemplate:
+    """W8 partition-path templates (destination/parquet/parquet.go:397-466)."""
+
+    def test_parse_segments(self):
+        from olake_spark.functions.transforms import parse_partition_pattern
+
+        segs = parse_partition_pattern(
+            "/{'region','unknown',}/static/{ts, , MM}"
+        )
+        assert segs == [
+            ("lit", "/"),
+            ("col", "region", "unknown", ""),
+            ("lit", "/static/"),
+            ("col", "ts", "default_ts", "MM"),
+        ]
+
+    def test_parse_malformed_block_drops(self):
+        from olake_spark.functions.transforms import parse_partition_pattern
+
+        # <3 comma parts -> replaced by "" (parquet.go:410-411)
+        assert parse_partition_pattern("{just_col}/x") == [("lit", "/x")]
+
+    def test_render_fallbacks_and_granularity(self, spark):
+        from olake_spark.functions.transforms import partition_path_template
+
+        df = spark.createDataFrame(
+            [
+                ("us", "2017-11-16 22:31:08"),
+                (None, "2017-01-02 03:04:05"),
+                ("eu", "not a date"),
+            ],
+            "region string, evt string",
+        )
+        pat = "/{'region','unknown',}/{evt,'no_ts',MM}/{missing,'gone',}"
+        got = [
+            r[0]
+            for r in df.select(
+                partition_path_template(pat, df.columns).alias("p")
+            ).collect()
+        ]
+        # month zero-padded for parseable timestamps; raw passthrough
+        # otherwise (granularityFunction: failed reformat -> %v of value)
+        assert got == [
+            "us/11/gone",
+            "unknown/01/gone",
+            "eu/not a date/gone",
+        ]
+
+    def test_render_time_granularities_epoch(self, spark):
+        from olake_spark.functions.transforms import partition_path_template
+
+        # epoch seconds int column: 2021-03-07 09:05:00 UTC = 1615107900
+        df = spark.createDataFrame([(1615107900,)], "t bigint")
+        pat = "{t,'f',YYYY}/{t,'f',MM}/{t,'f',DD}/{t,'f',HH}/{t,'f',WW}"
+        got = df.select(partition_path_template(pat, df.columns)).first()[0]
+        assert got == "2021/03/07/09/09"  # ISO week 9
+
+    def test_now_column_and_trailing_slash(self, spark):
+        from olake_spark.functions.transforms import partition_path_template
+
+        df = spark.createDataFrame([(1,)], "x int")
+        pat = "/{now(), 'f', YYYY}/"
+        got = df.select(
+            partition_path_template(
+                pat, df.columns, now=F.lit("2020-06-01 00:00:00").cast("timestamp")
+            )
+        ).first()[0]
+        # leading slashes collapsed (filepath.Join), trailing "/" trimmed
+        assert got == "2020"
