@@ -50,8 +50,8 @@ JOB_SPEC = {
                     "op": {
                         "enum": [
                             "cdc_merge", "merge", "merge_mor", "fold_deletes",
-                            "compact", "cluster", "rewrite_manifests", "expire",
-                            "auto",
+                            "compact", "cluster", "cluster_incremental",
+                            "rewrite_manifests", "expire", "auto",
                         ]
                     },
                     "mode": {"enum": ["cow", "mor"], "description": "cdc_merge write mode"},
@@ -61,6 +61,7 @@ JOB_SPEC = {
                     "curve": {"enum": ["zorder", "hilbert"]},
                     "row_weight": {"type": "string"},
                     "target_size": {"type": "integer"},
+                    "max_bytes": {"type": "integer", "description": "cluster_incremental: per-run rewrite budget"},
                     "keep_last": {"type": "integer"},
                 },
             },
@@ -100,7 +101,8 @@ def cmd_check(cfg: dict) -> dict:
     for s in cfg.get("stages", []):
         if s.get("op") not in (
             "cdc_merge", "merge", "merge_mor", "fold_deletes",
-            "compact", "cluster", "rewrite_manifests", "expire", "auto",
+            "compact", "cluster", "cluster_incremental",
+            "rewrite_manifests", "expire", "auto",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
         if s.get("op") in ("cdc_merge", "merge", "merge_mor") and not s.get("source_dir"):
@@ -185,6 +187,18 @@ def cmd_sync(cfg: dict) -> dict:
                 t,
                 curve=s.get("curve", "zorder"),
                 target_size=s.get("target_size"),
+                lineage=stage_lin,
+                stage=stage_id,
+                row_weight=s.get("row_weight", "length(bytes) + 64"),
+            )
+        if op == "cluster_incremental":
+            from olake_spark.operators.incremental_cluster import cluster_incremental
+
+            return cluster_incremental(
+                t,
+                curve=s.get("curve"),
+                target_size=s.get("target_size"),
+                max_bytes=s.get("max_bytes"),
                 lineage=stage_lin,
                 stage=stage_id,
                 row_weight=s.get("row_weight", "length(bytes) + 64"),

@@ -27,6 +27,7 @@ constants/constants.go:33-34 — this is the principled version.)
 
 from __future__ import annotations
 
+import json
 import math
 
 import numpy as np
@@ -41,6 +42,11 @@ from olake_spark.table.table import Table
 
 KEY_COL = "__curve_key"
 RANGE_COL = "__olake_range"
+#: table properties recording clustering state for incremental upkeep
+#: (operators/incremental_cluster.py): the curve and the min-max
+#: normalization window its keys were computed under
+CURVE_PROP = "cluster.curve"
+BOUNDS_PROP = "cluster.bounds"
 
 
 def _bounds(df, cols: list[str], entries=None) -> dict[str, tuple]:
@@ -62,6 +68,49 @@ def _bounds(df, cols: list[str], entries=None) -> dict[str, tuple]:
         aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
     r = df.agg(*aggs).first()
     return {c: (r[f"lo_{c}"], r[f"hi_{c}"]) for c in cols}
+
+
+def _plan_ranges(
+    keyed,
+    total_bytes: int,
+    total_rows: int,
+    n_ranges: int,
+    sample_rows: int,
+    row_weight: str,
+    skew_cap: float,
+):
+    """Sample (curve key, est bytes) → byte-weighted range boundaries
+    plus salt lane counts for ranges estimated above skew_cap × median.
+    One narrow pass over ``keyed``; numpy planning on ≤ sample_rows
+    rows driver-side."""
+    frac = min(1.0, sample_rows / total_rows)
+    sample = (
+        keyed.select(KEY_COL, F.expr(row_weight).cast("double").alias("__b"))
+        .sample(fraction=frac, seed=42)
+        .toPandas()
+    )
+    if len(sample) == 0:
+        sample = keyed.select(
+            KEY_COL, F.expr(row_weight).cast("double").alias("__b")
+        ).limit(10_000).toPandas()
+    keys = sample[KEY_COL].to_numpy(dtype=np.int64)
+    wts = sample["__b"].to_numpy(dtype=np.float64)
+    order = np.argsort(keys, kind="stable")
+    keys, wts = keys[order], wts[order]
+    cum = np.cumsum(wts)
+    targets = cum[-1] * (np.arange(1, n_ranges) / n_ranges)
+    cut_idx = np.searchsorted(cum, targets)
+    boundaries = np.unique(keys[np.minimum(cut_idx, len(keys) - 1)])
+    # estimated bytes per range (scaled from the sample)
+    rid_sample = np.searchsorted(boundaries, keys, side="right")
+    scale = total_bytes / max(cum[-1], 1.0)
+    est = np.bincount(rid_sample, weights=wts, minlength=len(boundaries) + 1) * scale
+    median = max(float(np.median(est[est > 0])), 1.0)
+    salt_counts = {
+        int(r): int(math.ceil(est[r] / median))
+        for r in np.nonzero(est > skew_cap * median)[0]
+    }
+    return boundaries, salt_counts
 
 
 def _assign_range_udf(boundaries: np.ndarray, salt_counts: dict[int, int]):
@@ -138,33 +187,9 @@ def cluster(
     # --- sample pass: (key, est-bytes) → byte-weighted boundaries +
     # skew map. Narrow projection: with a metadata-derived row_weight
     # this reads 3 small columns, never the payload.
-    frac = min(1.0, sample_rows / total_rows)
-    sample = (
-        keyed.select(KEY_COL, F.expr(row_weight).cast("double").alias("__b"))
-        .sample(fraction=frac, seed=42)
-        .toPandas()
+    boundaries, salt_counts = _plan_ranges(
+        keyed, total_bytes, total_rows, n_ranges, sample_rows, row_weight, skew_cap
     )
-    if len(sample) == 0:
-        sample = keyed.select(
-            KEY_COL, F.expr(row_weight).cast("double").alias("__b")
-        ).limit(10_000).toPandas()
-    keys = sample[KEY_COL].to_numpy(dtype=np.int64)
-    wts = sample["__b"].to_numpy(dtype=np.float64)
-    order = np.argsort(keys, kind="stable")
-    keys, wts = keys[order], wts[order]
-    cum = np.cumsum(wts)
-    targets = cum[-1] * (np.arange(1, n_ranges) / n_ranges)
-    cut_idx = np.searchsorted(cum, targets)
-    boundaries = np.unique(keys[np.minimum(cut_idx, len(keys) - 1)])
-    # estimated bytes per range (scaled from the sample)
-    rid_sample = np.searchsorted(boundaries, keys, side="right")
-    scale = total_bytes / max(cum[-1], 1.0)
-    est = np.bincount(rid_sample, weights=wts, minlength=len(boundaries) + 1) * scale
-    median = max(float(np.median(est[est > 0])), 1.0)
-    salt_counts = {
-        int(r): int(math.ceil(est[r] / median))
-        for r in np.nonzero(est > skew_cap * median)[0]
-    }
 
     ident = table.meta.identifier_fields[0] if table.meta.identifier_fields else "clip_id"
     assign = _assign_range_udf(boundaries, salt_counts)
@@ -178,12 +203,14 @@ def cluster(
         fanout_col=RANGE_COL,
         num_groups=max(n_groups, n_ranges),
         sort_within=[KEY_COL],
+        extra_stats_cols=[KEY_COL],
     )
     snap = table.commit_replace(
         {e.path for e in entries},
         new_entries,
         operation=f"cluster-{curve}",
         summary={"ranges": len(boundaries) + 1, "salted": len(salt_counts)},
+        properties={CURVE_PROP: curve, BOUNDS_PROP: json.dumps(b)},
     )
     sizes = sorted(e.file_size_bytes for e in new_entries)
     med = sizes[len(sizes) // 2] if sizes else 0

@@ -22,6 +22,7 @@ Triggers, each overridable via table properties (``maintenance.*``):
 
 from __future__ import annotations
 
+from olake_spark.operators.clustering import CURVE_PROP
 from olake_spark.table.table import Table
 
 
@@ -66,13 +67,24 @@ def plan_maintenance(table: Table) -> list[dict]:
             if seq_of.get(e.added_snapshot_id, -1) > last.sequence_number
         ]
         if len(stale) >= _prop(table, "recluster-appends", 8):
-            stages.append(
-                {
-                    "op": "cluster",
-                    "curve": last.operation.removeprefix("cluster-"),
-                    "reason": f"{len(stale)} data files added since snapshot {last.snapshot_id}",
-                }
-            )
+            curve = last.operation.removeprefix("cluster-").removeprefix("incr-")
+            if CURVE_PROP in table.meta.properties:
+                # incremental state exists → the cheap heartbeat rewrite
+                # (newcomers + overlapped files only), not a full pass
+                stages.append(
+                    {
+                        "op": "cluster_incremental",
+                        "reason": f"{len(stale)} data files added since snapshot {last.snapshot_id}",
+                    }
+                )
+            else:
+                stages.append(
+                    {
+                        "op": "cluster",
+                        "curve": curve,
+                        "reason": f"{len(stale)} data files added since snapshot {last.snapshot_id}",
+                    }
+                )
 
     if cur is not None and len(cur.manifests) >= _prop(table, "max-manifests", 16):
         stages.append(

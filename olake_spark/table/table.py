@@ -448,6 +448,7 @@ class Table:
         content: str = fmt.CONTENT_DATA,
         max_records_per_file: int | None = None,
         shuffle: bool = True,
+        extra_stats_cols: list[str] | None = None,
     ) -> list[DataFileEntry]:
         """Distributed write into data/<uuid>/; returns manifest entries.
 
@@ -509,14 +510,20 @@ class Table:
                 d = os.path.relpath(os.path.dirname(p), out_dir)
                 partition = "" if d == "." else d
             files.append((p, partition))
+        stats_cols = self.stats_cols
+        if extra_stats_cols:
+            # caller-supplied columns tracked for THIS commit only (e.g.
+            # the clustering curve key, so incremental reclustering can
+            # tell sorted files from newcomers by manifest bounds)
+            stats_cols = stats_cols + [c for c in extra_stats_cols if c not in stats_cols]
         if len(files) > stats_mod.DISTRIBUTED_THRESHOLD:
             # fleet-scale commits: harvest footers as a Spark job so the
             # driver never serializes per-file metadata IO
             entries = stats_mod.harvest_distributed(
-                self.spark, self.location, files, self.stats_cols
+                self.spark, self.location, files, stats_cols
             )
         else:
-            entries = stats_mod.harvest(self.location, files, self.stats_cols)
+            entries = stats_mod.harvest(self.location, files, stats_cols)
         if content != fmt.CONTENT_DATA:
             for e in entries:
                 e.content = content
@@ -536,13 +543,22 @@ class Table:
             summary=summary,
         )
 
-    def _commit(self, build_snapshot, validate=None, schema_json: str | None = None) -> Snapshot:
+    def _commit(
+        self,
+        build_snapshot,
+        validate=None,
+        schema_json: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
         """Optimistic commit loop: build against current meta, attempt
         version write, on loss refresh + re-validate + rebuild.
         ``schema_json`` swaps the table schema in the SAME metadata
         version as the snapshot — a refresh-level evolve rewrites data
         files and flips the schema atomically (no window where readers
-        see new files under the old schema)."""
+        see new files under the old schema). ``properties`` entries are
+        merged over the current table properties in the same version
+        (operator state riding the snapshot commit, e.g. clustering
+        curve params)."""
         last_err: Exception | None = None
         for attempt in range(COMMIT_RETRIES + 1):
             if validate is not None:
@@ -555,7 +571,11 @@ class Table:
                 schema_json=schema_json or self.meta.schema_json,
                 identifier_fields=self.meta.identifier_fields,
                 partition_spec=self.meta.partition_spec,
-                properties=self.meta.properties,
+                properties=(
+                    {**self.meta.properties, **properties}
+                    if properties
+                    else self.meta.properties
+                ),
                 current_snapshot_id=snap.snapshot_id,
                 snapshots=self.meta.snapshots + [snap],
                 last_sequence_number=snap.sequence_number,
@@ -590,6 +610,7 @@ class Table:
         operation: str = "replace",
         summary: dict | None = None,
         schema_json: str | None = None,
+        properties: dict | None = None,
     ) -> Snapshot:
         """Atomic swap: removed data files out, new files in.
 
@@ -634,7 +655,9 @@ class Table:
             s.update(summary or {})
             return t._next_snapshot(operation, manifests, s)
 
-        return self._commit(build, validate=validate, schema_json=schema_json)
+        return self._commit(
+            build, validate=validate, schema_json=schema_json, properties=properties
+        )
 
     def update_schema(self, new_schema: T.StructType, rebuild=None) -> None:
         """Metadata-only schema commit (no new snapshot) — the

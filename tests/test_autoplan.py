@@ -58,7 +58,8 @@ class TestPlanner:
         t = _mk(spark, str(tmp_path / "t"))
         t.meta.properties["maintenance.min-small-files"] = "999"  # isolate trigger
         cluster(t, curve="hilbert", row_weight="cast(dur_ms as bigint) * sr_hz / 500 + 64")
-        assert "cluster" not in _ops(plan_maintenance(t))
+        ops0 = _ops(plan_maintenance(t))
+        assert "cluster" not in ops0 and "cluster_incremental" not in ops0
         for w in range(8):
             df = (
                 generate_clips(spark, 5, partitions=1)
@@ -67,7 +68,24 @@ class TestPlanner:
             )
             t.commit_append(t.write_datafiles(df))
         plan = plan_maintenance(t)
-        picked = [s for s in plan if s["op"] == "cluster"]
+        # clustering state exists → the planner proposes the cheap
+        # incremental heartbeat (curve comes from table properties)
+        assert [s for s in plan if s["op"] == "cluster_incremental"]
+
+    def test_staleness_without_state_falls_back_to_full(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        t.meta.properties["maintenance.min-small-files"] = "999"
+        cluster(t, curve="hilbert", row_weight="cast(dur_ms as bigint) * sr_hz / 500 + 64")
+        # simulate a pre-incremental table: curve state absent
+        t.meta.properties.pop("cluster.curve", None)
+        for w in range(8):
+            df = (
+                generate_clips(spark, 5, partitions=1)
+                .withColumn("clip_id", F.concat(F.lit(f"x{w}_"), F.col("clip_id")))
+                .withColumn("_olake_id", F.md5(F.col("clip_id")))
+            )
+            t.commit_append(t.write_datafiles(df))
+        picked = [s for s in plan_maintenance(t) if s["op"] == "cluster"]
         assert picked and picked[0]["curve"] == "hilbert"
 
     def test_snapshot_count_triggers_expire(self, spark, tmp_path):

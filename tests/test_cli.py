@@ -35,7 +35,8 @@ def test_spec_lists_all_ops():
     ops = spec["properties"]["stages"]["items"]["properties"]["op"]["enum"]
     assert set(ops) == {
         "cdc_merge", "merge", "merge_mor", "fold_deletes",
-        "compact", "cluster", "rewrite_manifests", "expire", "auto",
+        "compact", "cluster", "cluster_incremental",
+        "rewrite_manifests", "expire", "auto",
     }
 
 
@@ -104,6 +105,31 @@ def test_sync_pipeline_and_resume(spark, tmp_path):
     assert clus2.get("skipped") is True
     with open(out2["lineage"]) as f:
         assert json.load(f)["job_id"] == "job-A"
+
+
+def test_sync_cluster_incremental_stage(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    cfg = {
+        "table": t.location,
+        "job_id": "job-incr",
+        "stages": [{"op": "cluster_incremental", "curve": "hilbert",
+                    "row_weight": "cast(dur_ms as bigint) * sr_hz / 500 + 64"}],
+    }
+    out = cli.cmd_sync(cfg)
+    (s0,) = out["stages"]
+    assert s0["mode"] == "full"  # bootstrap records curve state
+    # append + second sync with a fresh job id → incremental heartbeat
+    df = (
+        generate_clips(spark, 30)
+        .withColumn("clip_id", F.concat(F.lit("n_"), F.col("clip_id")))
+        .withColumn("_olake_id", F.md5(F.col("clip_id")))
+    )
+    t2 = Table.load(spark, t.location)
+    t2.commit_append(t2.write_datafiles(df))
+    cfg["job_id"] = "job-incr-2"
+    out2 = cli.cmd_sync(cfg)
+    (s1,) = out2["stages"]
+    assert s1["mode"] == "incremental" and s1["newcomers"] >= 1
 
 
 def test_clear_trims_history(spark, tmp_path):
