@@ -51,7 +51,7 @@ JOB_SPEC = {
                         "enum": [
                             "cdc_merge", "merge", "merge_mor", "fold_deletes",
                             "compact", "cluster", "cluster_incremental",
-                            "rewrite_manifests", "expire", "auto",
+                            "resample", "rewrite_manifests", "expire", "auto",
                         ]
                     },
                     "mode": {"enum": ["cow", "mor"], "description": "cdc_merge write mode"},
@@ -62,6 +62,7 @@ JOB_SPEC = {
                     "row_weight": {"type": "string"},
                     "target_size": {"type": "integer"},
                     "max_bytes": {"type": "integer", "description": "cluster_incremental: per-run rewrite budget"},
+                    "sr_out": {"type": "integer", "description": "resample: target sample rate (default 16000)"},
                     "keep_last": {"type": "integer"},
                 },
             },
@@ -102,7 +103,7 @@ def cmd_check(cfg: dict) -> dict:
         if s.get("op") not in (
             "cdc_merge", "merge", "merge_mor", "fold_deletes",
             "compact", "cluster", "cluster_incremental",
-            "rewrite_manifests", "expire", "auto",
+            "resample", "rewrite_manifests", "expire", "auto",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
         if s.get("op") in ("cdc_merge", "merge", "merge_mor") and not s.get("source_dir"):
@@ -202,6 +203,15 @@ def cmd_sync(cfg: dict) -> dict:
                 lineage=stage_lin,
                 stage=stage_id,
                 row_weight=s.get("row_weight", "length(bytes) + 64"),
+            )
+        if op == "resample":
+            from olake_spark.operators.rewrite_payload import resample_table
+
+            return resample_table(
+                t,
+                sr_out=s.get("sr_out", 16000),
+                target_file_size=s.get("target_size"),
+                lineage=stage_lin,
             )
         if op == "merge":
             src = spark.read.parquet(s["source_dir"])

@@ -36,7 +36,7 @@ def test_spec_lists_all_ops():
     assert set(ops) == {
         "cdc_merge", "merge", "merge_mor", "fold_deletes",
         "compact", "cluster", "cluster_incremental",
-        "rewrite_manifests", "expire", "auto",
+        "resample", "rewrite_manifests", "expire", "auto",
     }
 
 
