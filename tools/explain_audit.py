@@ -57,6 +57,14 @@ AUDITS = {
     "bucket_transform": [
         ("vectorized Arrow eval (not BatchEvalPython)", "ArrowEvalPython"),
     ],
+    "partition_template": [
+        # typed fast path: the timestamp column renders via direct
+        # year()/month() calls — the 12-layout parse cascade must NOT
+        # appear (it blows the expression past janino's method limit)
+        ("pruned 2-column read", "ReadSchema: struct<o_orderstatus:string,o_orderdate:timestamp"),
+        ("no string-parse cascade on typed column", "!gettimestamp"),
+        ("no python udf", "!BatchEvalPython"),
+    ],
     "ngram_jaccard": [
         # round-2 fix: the length-window blocking must ride an
         # equi-join key (source, band), never a nested loop
