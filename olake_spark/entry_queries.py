@@ -2186,3 +2186,35 @@ def audio_segment_match(spark, sf_dir):
         )
         .select("group_idx", "seg_idx", "n_matches")
     )
+
+
+# =====================================================================
+# Driver correctness-window rotation
+# =====================================================================
+# The driver stamps CORRECTNESS rows for only the FIRST 50 entries of
+# queries(); with 55 registrations, 5 are always outside the window.
+# Round 3 accidentally demoted changelog_scan (round 2's one hash-red)
+# out of verification by inserting partition_template ahead of it.
+# Round 4 rotates deliberately: the 5 never-driver-stamped entries
+# (changelog_scan, audio_segments, ivf_train, stratified_sample,
+# audio_segment_match) move inside the window, and 5 entries that have
+# been hash-green since round 1 and are semantically covered by
+# neighbors rotate out. Round 5 rotates ROTATED_OUT back in for a full
+# sweep. COVERAGE.md documents the schedule; test_entry_contract
+# asserts the tail is exactly ROTATED_OUT.
+
+ROTATED_OUT = [
+    "topk_boundary",  # covered by windowed_agg + chunked_scan LIMIT path
+    "set_except",  # covered by merge_upsert's anti-join leg
+    "max_cursor",  # covered by incremental_cursor + minmax_bounds
+    "token_count",  # covered by quality_score (same tokenizer)
+    "fingerprint",  # covered by exact_dedup + simhash (same digest path)
+]
+
+
+def ordered_queries() -> dict:
+    """QUERIES with ROTATED_OUT moved to the tail (positions 51-55) so
+    every other entry sits inside the driver's 50-entry window."""
+    head = {k: v for k, v in QUERIES.items() if k not in ROTATED_OUT}
+    tail = {k: QUERIES[k] for k in ROTATED_OUT if k in QUERIES}
+    return {**head, **tail}

@@ -23,3 +23,24 @@ def test_entry_smoke(spark):
 
 def test_all_oracles_match():
     assert check_main(SF_DIR, []) == 0
+
+
+def test_rotation_window():
+    """The driver stamps only the first 50 queries() entries. Guard the
+    rotation contract: every entry beyond position 50 must be explicitly
+    listed in ROTATED_OUT (no query silently exits verification), and
+    the five entries the driver has never stamped (round-3 tail) must
+    sit inside the window this round."""
+    import __spark_entry__ as e
+    from olake_spark.entry_queries import ROTATED_OUT
+
+    names = list(e.queries())
+    assert set(names[50:]) == set(ROTATED_OUT)
+    for never_stamped in (
+        "changelog_scan",
+        "audio_segments",
+        "ivf_train",
+        "stratified_sample",
+        "audio_segment_match",
+    ):
+        assert never_stamped in names[:50]
