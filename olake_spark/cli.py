@@ -212,6 +212,7 @@ def cmd_sync(cfg: dict) -> dict:
                 sr_out=s.get("sr_out", 16000),
                 target_file_size=s.get("target_size"),
                 lineage=stage_lin,
+                stage=stage_id,
             )
         if op == "merge":
             src = spark.read.parquet(s["source_dir"])

@@ -451,9 +451,30 @@ def fold_deletes(
             (table.abs_entry_path(e), i) for i, e in enumerate(aff_entries)
         ]
         plan_df = table.spark.createDataFrame(plan_rows, "__file string, __rid int")
-        survivors = survivors.join(
-            F.broadcast(plan_df), "__file", "inner"
-        ).drop("__file")
+        # LEFT join + loud failure on an unmatched row: if the scan's
+        # file_col and abs_entry_path() normalizations ever disagree
+        # (URI scheme, relative location), an inner join would drop
+        # every row and the replace commit would write EMPTY output
+        # over the affected files — silent data loss. A row-count guard
+        # (compaction's approach) can't distinguish that from deletes
+        # legitimately removing rows, so fail per-row instead.
+        survivors = (
+            survivors.join(F.broadcast(plan_df), "__file", "left")
+            .withColumn(
+                "__rid",
+                F.when(
+                    F.col("__rid").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("fold_deletes: scanned file not in rewrite plan "
+                                  "(path normalization mismatch): "),
+                            F.col("__file"),
+                        )
+                    ).cast("int"),
+                ).otherwise(F.col("__rid")),
+            )
+            .drop("__file")
+        )
         aff_bytes = sum(e.file_size_bytes for e in aff_entries)
         aff_rows = sum(e.record_count for e in aff_entries) or 1
         roll_rows = max(1, int(target_file_size / max(1.0, aff_bytes / aff_rows)))

@@ -149,6 +149,7 @@ def rewrite_payload(
 def resample_table(
     table: Table,
     sr_out: int = 16000,
+    stage: str | None = None,
     **kwargs,
 ) -> dict:
     """Bring every clip to one sample rate (training-data conformance).
@@ -185,6 +186,9 @@ def resample_table(
         batch,
         predicate=f"sr_hz != {sr_out}",
         entry_filter=needs_rewrite,
-        stage=f"resample-{sr_out}",
+        # An explicit stage id (the CLI's "NN-op") keeps two resample
+        # stages at the same rate in one job from sharing a lineage
+        # entry (the second would be skipped as already complete).
+        stage=stage or f"resample-{sr_out}",
         **kwargs,
     )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from olake_spark.functions.reformat import reformat_date, reformat_epoch
 from olake_spark.table.evolution import align_batch
 
 #: wal2json format-version-1 message model (pkg/waljs/types.go:41-57)
@@ -101,19 +102,44 @@ def _op_map_expr(mapping: dict[str, str]):
     return m
 
 
+def _wire_timestamp(col) -> "F.Column":
+    """Change-timestamp decode shared by both wire formats. The binlog
+    header carries EPOCH SECONDS rendered as a bare integer string (a
+    bare ``cast('timestamp')`` turns '1735689600' into NULL, silently
+    degrading merge dedup ordering to op-priority only); wal2json and
+    GTID producers emit formatted timestamps. Route integers through the
+    reference's int64 arm and everything else through the layout
+    cascade, like transforms._granularity_value does."""
+    return F.when(col.rlike(r"^-?[0-9]+$"), reformat_epoch(col)).otherwise(
+        reformat_date(col)
+    )
+
+
+def _pg_binary(col) -> "F.Column":
+    """Postgres bytea wire decode: wal2json renders binary values as
+    hex-escape strings (``\\x0102...``); the Kafka/JSONL landing
+    convention is base64. Detect the ``\\x`` prefix and unhex, else
+    unbase64 — without this, real Postgres binary payloads decode to
+    NULL/garbage silently."""
+    return F.when(
+        col.startswith("\\x"), F.unhex(F.substring(col, 3, 2147483647))
+    ).otherwise(F.unbase64(col))
+
+
 def _finish(rows: DataFrame, table_schema: T.StructType) -> DataFrame:
     """Pivot the name/value map onto the table's columns, cast through
-    the string physical mapping (binary = base64, timestamps = cast),
-    append RawRecord metadata columns."""
+    the string physical mapping (binary = hex-escape or base64,
+    timestamps = layout cascade / epoch arm), append RawRecord metadata
+    columns."""
     data_cols = [f for f in table_schema.fields if f.name not in ("_op_type", "_cdc_timestamp")]
     out = rows.select(
         *[F.col("__m").getItem(f.name).alias(f.name) for f in data_cols],
         F.col("__op").alias("_op_type"),
-        F.col("__ts").cast("timestamp").alias("_cdc_timestamp"),
+        _wire_timestamp(F.col("__ts")).alias("_cdc_timestamp"),
     )
     for f in data_cols:
         if isinstance(f.dataType, T.BinaryType):
-            out = out.withColumn(f.name, F.unbase64(F.col(f.name)))
+            out = out.withColumn(f.name, _pg_binary(F.col(f.name)))
     return align_batch(out, table_schema)
 
 

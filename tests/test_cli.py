@@ -227,3 +227,29 @@ def test_changelog_since_timestamp(spark, tmp_path):
     )
     assert r["from_snapshot"] == s1.snapshot_id
     assert r["inserts"] == 4 and r["deletes"] == 4
+
+
+def test_sync_two_resample_stages_distinct_lineage(spark, tmp_path):
+    """Two resample stages at the SAME rate in one job must each run
+    under their own lineage stage id (ADVICE r3: resample_table's
+    hardcoded 'resample-<sr>' made the second stage a silent skip)."""
+    t = _mk(spark, tmp_path)
+    cfg = {
+        "table": t.location,
+        "job_id": "job-RS",
+        "stages": [
+            {"op": "resample", "sr_out": 8000},
+            {"op": "resample", "sr_out": 8000},
+        ],
+    }
+    out = cli.cmd_sync(cfg)
+    stage_names = [s["stage"] for s in out["stages"]]
+    assert stage_names == ["00-resample", "01-resample"]
+    # First stage rewrites (clips are synthesized at mixed rates);
+    # second must EXECUTE (not lineage-skip) and see a conformant
+    # table — a metadata-only no-op, not {"skipped": True}.
+    assert out["stages"][0]["mode"] == "rewrite"
+    assert out["stages"][1].get("skipped") is not True
+    assert out["stages"][1]["mode"] == "noop"
+    srs = [r["sr_hz"] for r in Table.load(spark, t.location).scan().select("sr_hz").distinct().collect()]
+    assert srs == [8000]

@@ -15,6 +15,7 @@ contracts the judge graded missing in round 1:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from olake_spark.fixtures.audio_clips import FULL_SCHEMA, cdc_batch, generate_clips
@@ -179,3 +180,24 @@ def test_fold_after_fanout_rewrite_keeps_scan_exact(spark, tmp_path):
     assert t.scan().count() == BASE_N - 4 + 3
     # one row per key — no silent multiplication anywhere
     assert t.scan().select("_olake_id").distinct().count() == BASE_N - 4 + 3
+
+
+def test_fold_deletes_path_mismatch_fails_loudly(spark, tmp_path, monkeypatch):
+    """If abs_entry_path() and the scan's file_col normalizations ever
+    disagree, fold must raise BEFORE the replace commit — not write
+    empty output over the affected files (ADVICE r3: the inner join
+    made that failure mode silent data loss)."""
+    t = _mk_table(spark, str(tmp_path / "t"))
+    merge_mor(t, cdc_batch(spark, BASE_N, 1, updates=8, deletes=4))
+    before = _content_hash(t)
+    n_snaps = len(t.meta.snapshots)
+    real = type(t).abs_entry_path
+    monkeypatch.setattr(
+        type(t), "abs_entry_path", lambda self, e: "s3://bogus/" + real(self, e)
+    )
+    with pytest.raises(Exception, match="rewrite plan|raise_error|not in"):
+        fold_deletes(t)
+    monkeypatch.undo()
+    t2 = Table.load(spark, t.location)
+    assert len(t2.meta.snapshots) == n_snaps  # nothing committed
+    assert _content_hash(t2) == before

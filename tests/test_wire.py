@@ -175,3 +175,47 @@ class TestBinlog:
         assert r["_op_type"] == "c"
         assert r["_cdc_timestamp"] is not None
         assert bytes(r["payload"]) == b"\x00\x01"
+
+
+class TestWireTimestampAndBytea:
+    def test_binlog_epoch_seconds_timestamp(self, spark):
+        """The binlog header ts is epoch seconds as a bare integer
+        string — it must decode to the real instant, not NULL (ADVICE
+        r3: bare cast('timestamp') NULLed it silently)."""
+        raw = spark.createDataFrame(
+            [(_binlog_evt("write_rows", [[7, "e", ""]], ts="1735689600"),)],
+            "value string",
+        )
+        out = decode_binlog_rows(raw, TBL_SCHEMA, "app", "clips")
+        r = out.first()
+        assert r["_cdc_timestamp"] is not None
+        assert r["_cdc_timestamp"].year == 2025 and r["_cdc_timestamp"].month == 1
+
+    def test_wal2json_bytea_hex_escape(self, spark):
+        """Real wal2json renders bytea as hex-escape ('\\x0102...'), not
+        base64 — both conventions must decode to the same bytes."""
+        msgs = [
+            _wal_msg(
+                "0/10",
+                "2026-01-01 00:00:01",
+                [_chg("insert", cols=[("id", 1), ("name", "hexrow"), ("payload", "\\x0a0b0c")])],
+            ),
+            _wal_msg(
+                "0/11",
+                "2026-01-01 00:00:02",
+                [
+                    _chg(
+                        "insert",
+                        cols=[
+                            ("id", 2),
+                            ("name", "b64row"),
+                            ("payload", base64.b64encode(b"\x0a\x0b\x0c").decode()),
+                        ],
+                    )
+                ],
+            ),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        out = decode_wal2json(raw, TBL_SCHEMA, "public", "clips")
+        rows = {r["id"]: bytes(r["payload"]) for r in out.collect()}
+        assert rows == {1: b"\x0a\x0b\x0c", 2: b"\x0a\x0b\x0c"}
