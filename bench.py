@@ -448,7 +448,9 @@ def main_stage_only(stage: str, cores: int, state_dir: str, n_clips: int) -> Non
 
     def run_stage(table) -> None:
         if stage == "compact":
-            compact(table)
+            # OLAKE_COMPACT_MODE=spark forces the Spark rewrite path
+            # for same-host A/B against the pyarrow copy path (auto)
+            compact(table, mode=os.environ.get("OLAKE_COMPACT_MODE", "auto"))
         elif stage == "merge":
             src = cdc_batch(
                 spark,

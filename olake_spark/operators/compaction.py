@@ -18,6 +18,7 @@ remove-on-complete, drivers/abstract/backfill.go:60-64).
 from __future__ import annotations
 
 import os
+import uuid
 from collections import defaultdict
 
 from pyspark.sql import functions as F
@@ -25,9 +26,16 @@ from pyspark.sql import functions as F
 from olake_spark.plans.ffd import Bin, first_fit_decreasing
 from olake_spark.plans.lineage import LineageManifest
 from olake_spark.table.format import DataFileEntry
+from olake_spark.table.stats import file_entry
 from olake_spark.table.table import Table
 
 FANOUT_COL = "__olake_bin"
+
+#: coalesce copied row groups to about this much (uncompressed) before
+#: flushing — compaction inputs are SMALL files (often one tiny row
+#: group each); carrying their row-group boundaries into the output
+#: verbatim would bloat footers and scan granularity
+COPY_ROW_GROUP_BYTES = 64 << 20
 
 
 def plan_compaction(
@@ -46,6 +54,167 @@ def plan_compaction(
             b.bin_id = len(bins)
             bins.append(b)
     return bins
+
+
+def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileEntry]):
+    """Row-group COPY path: each bin is one executor task that streams
+    its input files' row groups through pyarrow into one output file —
+    no Spark row conversion, no shuffle, no JVM in the byte path.
+
+    Compaction is pure data movement (the bin plan fixes the output
+    grouping before any byte is read), so the Spark scan→broadcast-join
+    →fanout-write plan of ``_rewrite_bins`` pays for machinery it does
+    not need: every payload byte crosses parquet→InternalRow→shuffle
+    writer→parquet. Here the byte path is parquet→Arrow→parquet inside
+    one C++ pipeline per bin; per-byte CPU and memory-bandwidth cost
+    drops accordingly, which is exactly the resource the pure byte-copy
+    stage saturates first at high parallelism (BENCH_SCALING_r3:
+    compact 2.65× of 4× while CPU-dense stages reached 3.7×).
+
+    Preconditions (checked by the caller): no live equality-delete
+    files (compact prefolds), and every file in a bin shares one
+    physical schema — a task that finds mixed schemas returns a
+    ``fallback`` marker and the caller reroutes those bins through the
+    Spark rewrite. Inputs are concatenated in key-lower-bound order, so
+    each output file keeps a usable (if wider) min/max range; the
+    output entry's stats are harvested from the real footer by the same
+    ``file_entry`` the Spark write path uses, so manifests cannot
+    drift between the two paths.
+    """
+    spark = table.spark
+    commit_dir = uuid.uuid4().hex
+    out_dir = os.path.join(table.location, "data", commit_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    key = table.meta.identifier_fields[0] if table.meta.identifier_fields else None
+
+    def _lower(p: str):
+        e = entry_by_path[p]
+        v = e.lower_bounds.get(key) if key else None
+        return (v is None, str(v))
+
+    specs = []
+    for b in bins:
+        inputs = sorted((p for p, _ in b.items), key=_lower)
+        parts = {entry_by_path[p].partition for p in inputs}
+        partition = parts.pop() if len(parts) == 1 else ""
+        specs.append(
+            (
+                b.bin_id,
+                os.path.join(out_dir, f"bin-{b.bin_id:05d}.parquet"),
+                [table.abs_entry_path(entry_by_path[p]) for p in inputs],
+                partition,
+            )
+        )
+
+    location = table.location
+    stats_cols = table.stats_cols
+    rg_bytes = COPY_ROW_GROUP_BYTES
+
+    def copy_bin(items):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        def _readable_ts(schema: "pa.Schema") -> "pa.Schema":
+            # Spark writes INT96 timestamps, which Arrow reads back as
+            # timestamp[ns]; re-writing those as INT64 TIMESTAMP(NANOS)
+            # is unreadable to Spark. Coerce all timestamp fields to
+            # microseconds — the standard TIMESTAMP(MICROS) every
+            # reader understands.
+            fields = []
+            for f in schema:
+                if pa.types.is_timestamp(f.type):
+                    f = f.with_type(pa.timestamp("us", tz=f.type.tz))
+                fields.append(f)
+            return pa.schema(fields, metadata=schema.metadata)
+
+        for bin_id, out_abs, inputs, partition in items:
+            pfs = [papq.ParquetFile(p) for p in inputs]
+            schema = pfs[0].schema_arrow
+            if any(pf.schema_arrow != schema for pf in pfs[1:]):
+                for pf in pfs:
+                    pf.close()
+                yield ("fallback", bin_id, None)
+                continue
+            out_schema = _readable_ts(schema)
+            writer = papq.ParquetWriter(out_abs, out_schema, compression="zstd")
+            buf, buf_rows, buf_bytes = [], 0, 0
+
+            def flush():
+                nonlocal buf, buf_rows, buf_bytes
+                if buf:
+                    t = pa.concat_tables(buf)
+                    if t.schema != out_schema:
+                        t = t.cast(out_schema)
+                    writer.write_table(t, row_group_size=buf_rows)
+                    buf, buf_rows, buf_bytes = [], 0, 0
+
+            for pf in pfs:
+                for rg in range(pf.metadata.num_row_groups):
+                    t = pf.read_row_group(rg)
+                    buf.append(t)
+                    buf_rows += t.num_rows
+                    buf_bytes += pf.metadata.row_group(rg).total_byte_size
+                    if buf_bytes >= rg_bytes:
+                        flush()
+                pf.close()
+            flush()
+            writer.close()
+            e = file_entry(
+                out_abs, os.path.relpath(out_abs, location), partition, stats_cols
+            )
+            yield (
+                "ok",
+                bin_id,
+                (
+                    e.path,
+                    e.partition,
+                    e.record_count,
+                    e.file_size_bytes,
+                    e.lower_bounds,
+                    e.upper_bounds,
+                ),
+            )
+
+    sc = spark.sparkContext
+    n_slices = min(len(specs), sc.defaultParallelism)
+    results = sc.parallelize(specs, n_slices).mapPartitions(copy_bin).collect()
+
+    copied_paths: list[str] = []
+    new_entries: list[DataFileEntry] = []
+    fallback_ids: set[int] = set()
+    by_id = {b.bin_id: b for b in bins}
+    for status, bin_id, payload in sorted(results, key=lambda r: r[1]):
+        if status == "fallback":
+            fallback_ids.add(bin_id)
+            continue
+        p, pt, rc, sz, lo, hi = payload
+        new_entries.append(
+            DataFileEntry(
+                path=p,
+                partition=pt,
+                record_count=rc,
+                file_size_bytes=sz,
+                lower_bounds=lo,
+                upper_bounds=hi,
+            )
+        )
+        copied_paths.extend(pp for pp, _ in by_id[bin_id].items)
+
+    if fallback_ids:
+        fb_paths, fb_entries = _rewrite_bins(
+            table, [by_id[i] for i in sorted(fallback_ids)], entry_by_path
+        )
+        copied_paths.extend(fb_paths)
+        new_entries.extend(fb_entries)
+
+    expected = sum(entry_by_path[p].record_count for p in copied_paths)
+    got = sum(e.record_count for e in new_entries)
+    if got != expected:
+        raise RuntimeError(
+            f"compaction copy row mismatch: planned {expected} rows, "
+            f"wrote {got} — aborting before commit"
+        )
+    return copied_paths, new_entries
 
 
 def _rewrite_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileEntry]):
@@ -96,6 +265,7 @@ def compact(
     lineage: LineageManifest | None = None,
     stage: str = "compact",
     wave_bins: int = 64,
+    mode: str = "auto",
 ) -> dict:
     """Compact small files; returns metrics. Resumable per wave.
 
@@ -105,7 +275,14 @@ def compact(
     so live delete files are folded first (`fold_deletes` rewrites
     exactly the delete-affected files and drops the delete files),
     then compaction plans against the clean table. Iceberg's
-    rewrite-data-files maintenance has the same ordering contract."""
+    rewrite-data-files maintenance has the same ordering contract.
+
+    mode: "auto" (default) uses the pyarrow row-group COPY path
+    (`_copy_bins` — one task per bin, no shuffle, no JVM byte path)
+    since deletes are always folded first; "spark" forces the scan→
+    broadcast-join→fanout rewrite (`_rewrite_bins`). Both paths feed
+    the same footer-stats harvest and the same replace commit, and the
+    pre-commit row-count guard holds for both."""
     target_size = target_size or table.target_file_size
     if table.delete_entries():
         from olake_spark.operators.merge import fold_deletes
@@ -148,6 +325,19 @@ def compact(
         if lineage is not None and lineage.is_done(stage, unit):
             done_waves += 1
             continue
+        # Neither rewrite path tolerates LIVE equality-delete files:
+        # the copy path would resurrect deleted rows byte-for-byte, and
+        # the Spark path's pre-commit row guard would abort (the scan
+        # applies deletes, so written < planned). The prefold above
+        # normally guarantees delete-free input, but its lineage stamp
+        # cannot be trusted against deletes that landed AFTER it (a
+        # resumed run racing a concurrent MoR writer) — so fold
+        # unconditionally at wave time. Bins whose files the fold
+        # rewrote fall out via the live-path revalidation below.
+        if table.delete_entries():
+            from olake_spark.operators.merge import fold_deletes
+
+            fold_deletes(table, target_file_size=target_size)
         # a resumed wave may reference files replaced by its own earlier,
         # half-committed attempt — revalidate against live paths
         entry_by_path = {e.path: e for e in table.entries()}
@@ -156,7 +346,8 @@ def compact(
             if lineage is not None:
                 lineage.mark_done(stage, unit, snapshot_id=table.meta.current_snapshot_id)
             continue
-        removed, new_entries = _rewrite_bins(table, wv_live, entry_by_path)
+        rewrite = _rewrite_bins if mode == "spark" else _copy_bins
+        removed, new_entries = rewrite(table, wv_live, entry_by_path)
         snap = table.commit_replace(
             set(removed), new_entries, operation="compact",
             summary={"bins": len(wv_live)},

@@ -251,3 +251,110 @@ class TestRelativeLocation:
         assert t.scan().count() == rows_before
         t2 = Table.load(spark, "./rel_tbl")
         assert t2.scan().count() == rows_before
+
+
+class TestCopyPathCompaction:
+    """The pyarrow row-group copy path (mode='auto') must be
+    indistinguishable from the Spark rewrite path (mode='spark') at the
+    scan and manifest level, fall back on mixed physical schemas, and
+    never run while equality-delete files are live."""
+
+    def test_copy_equals_spark_rewrite(self, spark, tmp_path):
+        ts = []
+        for mode in ("auto", "spark"):
+            loc = str(tmp_path / mode)
+            t = Table.create(
+                spark, loc, "audio_clips", FULL_SCHEMA,
+                identifier_fields=["_olake_id"],
+                properties={"write.target-file-size-bytes": str(1 << 20)},
+            )
+            for k in range(4):
+                df = generate_clips(spark, 30).withColumn(
+                    "clip_id", F.concat(F.lit(f"g{k}_"), F.col("clip_id"))
+                ).withColumn("_olake_id", F.md5("clip_id"))
+                t.commit_append(
+                    t.write_datafiles(df, range_partition_cols=["_olake_id"], num_groups=2)
+                )
+            compact(t, target_size=64 * 1024 * 1024, mode=mode)
+            ts.append(t)
+        auto, sp = ts
+        assert _content_hash(auto.scan()) == _content_hash(sp.scan())
+        assert len(auto.data_entries()) == len(sp.data_entries())
+        # manifest stats harvested identically (same stats cols, same
+        # global bounds after full compaction to one bin per partition)
+        def bounds(t):
+            los = [e.lower_bounds.get("_olake_id") for e in t.data_entries()]
+            his = [e.upper_bounds.get("_olake_id") for e in t.data_entries()]
+            return min(los), max(his), sum(e.record_count for e in t.data_entries())
+        assert bounds(auto) == bounds(sp)
+        # copy output must round-trip through the Spark reader with the
+        # table schema intact (INT96/nanos timestamp coercion)
+        assert auto.scan().schema == sp.scan().schema
+        auto.scan().select("_cdc_timestamp").collect()
+
+    def test_mixed_schema_bin_falls_back(self, spark, fragmented_table, tmp_path):
+        """A bin containing a file whose PHYSICAL arrow schema differs
+        (column order) reroutes through the Spark rewrite instead of
+        corrupting or crashing."""
+        import pyarrow.parquet as papq
+
+        from olake_spark.operators.compaction import _copy_bins, plan_compaction
+
+        t = fragmented_table
+        # rewrite one live file with reversed column order (same data)
+        victim = t.data_entries()[0]
+        abs_p = t.abs_entry_path(victim)
+        tbl = papq.read_table(abs_p)
+        papq.write_table(
+            tbl.select(list(reversed(tbl.column_names))),
+            abs_p,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        # drop the Hadoop checksum sidecar invalidated by the rewrite
+        crc = os.path.join(os.path.dirname(abs_p), "." + os.path.basename(abs_p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        before_rows = t.scan().count()
+        h = _content_hash(t.scan())
+        m = compact(t, target_size=64 * 1024 * 1024)
+        assert m["bins"] >= 1
+        assert t.scan().count() == before_rows
+        assert _content_hash(t.scan()) == h
+
+    def test_live_deletes_folded_at_wave_time(self, spark, tmp_path):
+        """If delete files are live at wave time (lineage-resumed run
+        whose prefold was stamped complete before new deletes landed),
+        the wave must fold them first — a byte copy would resurrect
+        deleted rows, and the Spark path's row guard would abort."""
+        from olake_spark.fixtures.audio_clips import cdc_batch
+        from olake_spark.operators.merge import merge_mor
+
+        loc = str(tmp_path / "t")
+        t = Table.create(
+            spark, loc, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+            properties={"write.target-file-size-bytes": str(1 << 20)},
+        )
+        for k in range(3):
+            df = generate_clips(spark, 30).withColumn(
+                "clip_id", F.concat(F.lit(f"g{k}_"), F.col("clip_id"))
+            ).withColumn("_olake_id", F.md5("clip_id"))
+            t.commit_append(
+                t.write_datafiles(df, range_partition_cols=["_olake_id"], num_groups=2)
+            )
+        merge_mor(t, cdc_batch(spark, 30, 1, updates=4, deletes=3))
+        assert t.delete_entries()
+        expected_rows = t.scan().count()
+        h = _content_hash(t.scan())
+
+        # simulate the resume edge: prefold lineage already complete
+        lin = LineageManifest(str(tmp_path / "lin.json"), "job-X")
+        lin.plan("compact-prefold", {"fold": {}})
+        lin.mark_done("compact-prefold", "fold", snapshot_id=t.meta.current_snapshot_id)
+        lin.set_stage_snapshot("compact-prefold", t.meta.current_snapshot_id)
+
+        compact(t, target_size=64 * 1024 * 1024, lineage=lin, stage="compact")
+        assert len(t.delete_entries()) == 0  # folded at wave time
+        assert t.scan().count() == expected_rows
+        assert _content_hash(t.scan()) == h
