@@ -49,10 +49,22 @@ JOB_SPEC = {
                 "properties": {
                     "op": {
                         "enum": [
-                            "cdc_merge", "merge", "merge_mor", "fold_deletes",
-                            "compact", "cluster", "cluster_incremental",
-                            "resample", "rewrite_manifests", "expire", "auto",
+                            "append", "cdc_merge", "merge", "merge_mor",
+                            "fold_deletes", "compact", "cluster",
+                            "cluster_incremental", "resample",
+                            "rewrite_manifests", "expire", "auto",
                         ]
+                    },
+                    "filter": {
+                        "type": "string",
+                        "description": "per-stream user filter (reference grammar: "
+                        "1-2 conditions, = != < > <= >=, one and/or, quoted "
+                        "columns/values) applied to the source read",
+                    },
+                    "partition_regex": {
+                        "type": "string",
+                        "description": "append: /{col,fallback,granularity}/... "
+                        "destination partition template",
                     },
                     "mode": {"enum": ["cow", "mor"], "description": "cdc_merge write mode"},
                     "fold_every": {"type": "integer", "description": "cdc_merge mor: fold cadence"},
@@ -98,16 +110,27 @@ def cmd_spec(_cfg: dict) -> dict:
 
 def cmd_check(cfg: dict) -> dict:
     """Config + connectivity + write-probe validation."""
+    from olake_spark.plans.filters import parse_filter
+
     errors = []
     for s in cfg.get("stages", []):
         if s.get("op") not in (
-            "cdc_merge", "merge", "merge_mor", "fold_deletes",
+            "append", "cdc_merge", "merge", "merge_mor", "fold_deletes",
             "compact", "cluster", "cluster_incremental",
             "resample", "rewrite_manifests", "expire", "auto",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
-        if s.get("op") in ("cdc_merge", "merge", "merge_mor") and not s.get("source_dir"):
+        if s.get("op") in ("append", "cdc_merge", "merge", "merge_mor") and not s.get(
+            "source_dir"
+        ):
             errors.append(f"{s.get('op')} requires source_dir")
+        if s.get("filter"):
+            # the reference validates the filter grammar at Check time
+            # (stream_configured.go:157) — fail fast, not mid-sync
+            try:
+                parse_filter(s["filter"])
+            except ValueError as e:
+                errors.append(str(e))
     if not os.path.isdir(cfg.get("table", "")):
         errors.append(f"table location not found: {cfg.get('table')}")
     if errors:
@@ -179,8 +202,29 @@ def cmd_sync(cfg: dict) -> dict:
         t.location, "metadata", f"lineage-{job_id}.json"
     )
     lin = LineageManifest(lineage_path, job_id)
+    from olake_spark.plans.filters import apply_stream_filter
+
+    def _source(s: dict):
+        """Read a stage's source_dir with the per-stream user filter
+        applied BEFORE anything else — Catalyst pushes it into the
+        parquet scan (the engine's jdbc.SQLFilter analog)."""
+        src = spark.read.parquet(s["source_dir"])
+        return apply_stream_filter(src, s.get("filter"))
+
     def exec_stage(i: int, stage_id: str, s: dict, stage_lin=None) -> dict:
         op = s["op"]
+        if op == "append":
+            from olake_spark.operators.ingest import append_batch
+            from olake_spark.table.evolution import align_batch
+
+            return append_batch(
+                t,
+                align_batch(_source(s), t.schema),
+                partition_regex=s.get("partition_regex"),
+                target_file_size=s.get("target_size"),
+                lineage=stage_lin,
+                stage=stage_id,
+            )
         if op == "compact":
             return compact(t, target_size=s.get("target_size"), lineage=stage_lin, stage=stage_id)
         if op == "cluster":
@@ -215,13 +259,11 @@ def cmd_sync(cfg: dict) -> dict:
                 stage=stage_id,
             )
         if op == "merge":
-            src = spark.read.parquet(s["source_dir"])
-            return merge_into(t, src, lineage=stage_lin, stage=stage_id)
+            return merge_into(t, _source(s), lineage=stage_lin, stage=stage_id)
         if op == "merge_mor":
             from olake_spark.operators.merge import merge_mor
 
-            src = spark.read.parquet(s["source_dir"])
-            return merge_mor(t, src, lineage=stage_lin, stage=stage_id)
+            return merge_mor(t, _source(s), lineage=stage_lin, stage=stage_id)
         if op == "fold_deletes":
             from olake_spark.operators.merge import fold_deletes
 
@@ -229,6 +271,7 @@ def cmd_sync(cfg: dict) -> dict:
                 t, target_file_size=s.get("target_size"), lineage=stage_lin, stage=stage_id
             )
         if op == "cdc_merge":
+            flt = s.get("filter")
             return cdc_stream_merge(
                 t,
                 s["source_dir"],
@@ -236,6 +279,9 @@ def cmd_sync(cfg: dict) -> dict:
                 or os.path.join(t.location, "metadata", f"ckpt-{job_id}-{i}"),
                 mode=s.get("mode", "cow"),
                 fold_every=s.get("fold_every"),
+                # the user filter runs inside foreachBatch, before the
+                # merge — per-batch exactly-once like the merge itself
+                transform=(lambda df: apply_stream_filter(df, flt)) if flt else None,
             )
         if op == "rewrite_manifests":
             return rewrite_manifests(t)

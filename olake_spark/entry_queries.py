@@ -121,6 +121,28 @@ def filter_pushdown(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
+@_register(
+    "stream_filter",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 100000.5 AND o_orderstatus = 'F'
+    """,
+)
+def stream_filter(spark, sf_dir):
+    """F1: the reference's restricted per-stream user filter grammar
+    (types/stream_configured.go:87-134) parsed and applied as a pushed
+    Catalyst predicate (plans/filters.py — the jdbc.SQLFilter analog,
+    pkg/jdbc/jdbc.go:564-637). The filter string below exercises a
+    float literal, a quoted string value, and the AND combinator."""
+    from olake_spark.plans.filters import apply_stream_filter
+
+    o = _t(spark, sf_dir, "orders")
+    return apply_stream_filter(
+        o, 'o_totalprice >= 100000.5 and o_orderstatus = "F"'
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 def _tuple_scan_sqls() -> tuple[str, str]:
     """Chunk-id assignment from the SAME rendered lexicographic
     comparisons on both engines — the renderer (sources/jdbc.py,
@@ -2209,6 +2231,7 @@ ROTATED_OUT = [
     "max_cursor",  # covered by incremental_cursor + minmax_bounds
     "token_count",  # covered by quality_score (same tokenizer)
     "fingerprint",  # covered by exact_dedup + simhash (same digest path)
+    "partition_path",  # covered by partition_template (same renderer family)
 ]
 
 

@@ -198,3 +198,39 @@ def partition_path_template(
     if not parts:
         return F.lit("")
     return F.regexp_replace(F.concat(*parts), "^/+|/$", "")
+
+
+def split_pattern_segments(pattern: str) -> list[str]:
+    """Split a partition-path pattern into its path segments (on ``/``
+    outside ``{...}`` blocks), dropping empties from leading/trailing
+    slashes. ``/{col1,f,''}/lit-{col2,f,DD}`` → two segments."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for ch in pattern:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+        if ch == "/" and depth == 0:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def partition_template_segment_cols(
+    pattern: str, columns, now: Column | None = None
+) -> list[Column]:
+    """One rendered string Column PER PATH SEGMENT of the pattern —
+    the columns a partitioned writer fans out on (one directory level
+    per template segment), versus ``partition_path_template`` which
+    renders the whole sub-path as one string."""
+    return [
+        partition_path_template(seg, columns, now=now)
+        for seg in split_pattern_segments(pattern)
+    ]

@@ -445,6 +445,7 @@ class Table:
         sort_within: list[str] | None = None,
         record_partition_from_dir: bool = False,
         range_partition_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
         content: str = fmt.CONTENT_DATA,
         max_records_per_file: int | None = None,
         shuffle: bool = True,
@@ -494,6 +495,18 @@ class Table:
             if sort_within:
                 writer = writer.sortWithinPartitions(fanout_col, *sort_within)
             _sink(writer).partitionBy(fanout_col).parquet(out_dir)
+        elif partition_by:
+            # W11/W8: REAL table-partition fanout (Hive-layout dirs, one
+            # level per column — typically the rendered segments of a
+            # partition template). Unlike fanout_col, the columns stay
+            # recorded via record_partition_from_dir; repartition on
+            # them first so each partition is written by few tasks.
+            if shuffle:
+                n = num_groups or self.spark.sparkContext.defaultParallelism
+                writer = df.repartition(n, *[F.col(c) for c in partition_by])
+            if sort_within:
+                writer = writer.sortWithinPartitions(*partition_by, *sort_within)
+            _sink(writer).partitionBy(*partition_by).parquet(out_dir)
         elif range_partition_cols:
             n = num_groups or self.spark.sparkContext.defaultParallelism
             cols = [F.col(c) for c in range_partition_cols]

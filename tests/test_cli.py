@@ -253,3 +253,90 @@ def test_sync_two_resample_stages_distinct_lineage(spark, tmp_path):
     assert out["stages"][1]["mode"] == "noop"
     srs = [r["sr_hz"] for r in Table.load(spark, t.location).scan().select("sr_hz").distinct().collect()]
     assert srs == [8000]
+
+
+def test_sync_merge_with_stream_filter(spark, tmp_path):
+    """A per-stream filter on a merge stage restricts which CDC rows
+    merge (the reference pushes the parsed filter into the backfill
+    WHERE clause; here Catalyst pushes it into the parquet scan)."""
+    t = _mk(spark, tmp_path)
+    src_dir = str(tmp_path / "cdc")
+    batch = (
+        cdc_batch(spark, 80, 1, updates=0, deletes=0, inserts=6)
+        .withColumn("clip_id", F.concat(F.lit("w0_"), F.col("clip_id")))
+        .withColumn("_olake_id", F.md5(F.col("clip_id")))
+    )
+    batch.coalesce(1).write.parquet(src_dir)
+    inserts = batch.filter("_op_type = 'c'")
+    n_match = inserts.filter("dur_ms > 200").count()
+    assert 0 < n_match < inserts.count()  # the filter must actually bite
+    cfg = {
+        "table": t.location,
+        "job_id": "job-F",
+        "stages": [{"op": "merge", "source_dir": src_dir, "filter": "dur_ms > 200"}],
+    }
+    assert cli.cmd_check(cfg)["status"] == "SUCCEEDED"
+    cli.cmd_sync(cfg)
+    assert Table.load(spark, t.location).scan().count() == 160 + n_match
+
+
+def test_check_rejects_bad_filter_grammar(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    bad = cli.cmd_check(
+        {
+            "table": t.location,
+            "stages": [
+                {"op": "merge", "source_dir": "/tmp", "filter": "a > 1 and b < 2 and c = 3"}
+            ],
+        }
+    )
+    assert bad["status"] == "FAILED"
+    assert any("invalid filter format" in e for e in bad["errors"])
+
+
+def test_sync_append_with_partition_template(spark, tmp_path):
+    """An append stage with partition_regex lands rows in
+    template-rendered partition directories and records the RAW
+    rendered sub-path in the manifest (types/catalog.go:40-47,
+    parquet.go:397-466)."""
+    t = _mk(spark, tmp_path, n=40)
+    src_dir = str(tmp_path / "new")
+    df = (
+        generate_clips(spark, 40, partitions=2)
+        .withColumn("clip_id", F.concat(F.lit("new_"), F.col("clip_id")))
+        .withColumn("_olake_id", F.md5("clip_id"))
+    )
+    df.write.parquet(src_dir)
+    cfg = {
+        "table": t.location,
+        "job_id": "job-P",
+        "stages": [
+            {
+                "op": "append",
+                "source_dir": src_dir,
+                "partition_regex": "/{codec,'unknown',''}/{sr_hz,'0',''}",
+            }
+        ],
+    }
+    out = cli.cmd_sync(cfg)
+    (st,) = out["stages"]
+    assert st["rows"] == 40
+    t2 = Table.load(spark, t.location)
+    added = [e for e in t2.data_entries() if e.added_snapshot_id == st["snapshot_id"]]
+    codecs = {r["codec"] for r in df.select("codec").distinct().collect()}
+    srs = {str(r["sr_hz"]) for r in df.select("sr_hz").distinct().collect()}
+    parts = {e.partition for e in added}
+    # manifest partition = raw rendered sub-path "codec/sr"
+    for p in parts:
+        cdc, sr = p.split("/")
+        assert cdc in codecs and sr in srs
+    # physical layout: one Hive dir level per template segment
+    rel = added[0].path
+    assert "__p0=" in rel and "__p1=" in rel
+    # scan sees old + new rows, schema unchanged
+    assert t2.scan().count() == 80 + 40
+    assert t2.scan().schema == t.scan().schema
+    # resume: the append stage is lineage-skipped, no double-append
+    out2 = cli.cmd_sync(cfg)
+    assert out2["stages"][0].get("skipped") is True
+    assert Table.load(spark, t.location).scan().count() == 120
