@@ -45,6 +45,56 @@ from olake_spark.table.table import Table
 # op priority for tie-breaks: INSERT < READ < UPDATE < DELETE
 OP_PRIORITY = {"c": 0, "r": 1, "u": 2, "d": 3}
 
+#: expressions that are per-QUERY stable but differ between the two
+#: separate actions a merge runs (Catalyst folds them to a literal at
+#: each execution), so Expression.deterministic() does not flag them
+_SCAN_UNSTABLE_TOKENS = ("current_timestamp()", "current_date()", "now()")
+
+
+def _assert_scan_stable(source: DataFrame, op: str) -> None:
+    """Enforce the merge determinism contract LOUDLY.
+
+    merge_into/merge_mor scan ``source`` twice (narrow keys pass, then
+    the full pass). A nondeterministic source silently diverges the
+    pruned/delete key set from the merged rows — duplicates or lost
+    deletes with no error. Walk the analyzed plan's expressions and
+    reject any Catalyst flags nondeterministic (rand/uuid/
+    monotonically_increasing_id/nondeterministic UDFs), plus the
+    per-action-folded clock expressions Catalyst considers
+    "deterministic" within one query but that change between the two
+    actions. A persisted source is exempt: the first action
+    materializes it and the second reads the same data.
+    """
+    lvl = source.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return
+    offenders: list[str] = []
+    try:
+        jplan = source._jdf.queryExecution().analyzed()
+
+        def walk(node):
+            eit = node.expressions().iterator()
+            while eit.hasNext():
+                e = eit.next()
+                if not e.deterministic():
+                    offenders.append(e.sql())
+            cit = node.children().iterator()
+            while cit.hasNext():
+                walk(cit.next())
+
+        walk(jplan)
+        plan_str = jplan.toString()
+    except Exception:  # py4j surface changed — fall back to text scan
+        plan_str = source._jdf.queryExecution().analyzed().toString()
+    offenders += [t for t in _SCAN_UNSTABLE_TOKENS if t in plan_str]
+    if offenders:
+        raise ValueError(
+            f"{op}: source plan is not scan-stable ({sorted(set(offenders))[:3]}); "
+            "the merge reads the source twice and a nondeterministic plan can "
+            "silently corrupt the table. persist()/cache() the batch first "
+            "(cdc_stream_merge does this for its transform output)."
+        )
+
 
 def _op_priority_col(col: str = "_op_type"):
     m = F.create_map(*[F.lit(x) for kv in OP_PRIORITY.items() for x in kv])
@@ -172,6 +222,7 @@ def merge_into(
     # ~10 KB binary rows through the block manager is memory-bandwidth-
     # bound and anti-scales with cores — keys-only + single full pass
     # is both fewer bytes and cleanly parallel.
+    _assert_scan_stable(source, "merge")
     keys_df = source.select(key).distinct().cache()
     src_rows = keys_df.count()
     if src_rows == 0:
@@ -358,16 +409,26 @@ def merge_mor(
     # keys), so it comes from a NARROW column-pruned pass; the full
     # payload is scanned exactly once, by the data-file write below —
     # no checkpoint materialization of binary rows.
+    _assert_scan_stable(source, "merge")
     keys_df = source.select(key).distinct().cache()
-    src_rows = keys_df.count()
+    kstats = keys_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col(key).cast("string"))).alias("w"),
+    ).first()
+    src_rows = int(kstats["n"])
     if src_rows == 0:
         keys_df.unpersist()
         return {"skipped": True, "snapshot_id": None, "source_rows": 0}
 
     # size the delete file(s) to the reference's 64 MiB equality-delete
     # target (arrow-writer/utils.go:23) — the cached keys block AQE's
-    # small-partition coalescing, so bound the fanout explicitly
-    n_del_files = max(1, math.ceil(src_rows * 64 / (64 << 20)))
+    # small-partition coalescing, so bound the fanout explicitly. The
+    # per-key byte cost comes from the batch's OBSERVED average key
+    # width (piggybacked on the count action over the cached keys),
+    # not a constant: a long composite key under a 64-bytes/key guess
+    # would overfill files well past the target.
+    key_bytes = float(kstats["w"] or 32.0) + 20.0  # + encoding/offset overhead
+    n_del_files = max(1, math.ceil(src_rows * key_bytes / (64 << 20)))
     del_entries = table.write_datafiles(
         keys_df.coalesce(n_del_files), content="deletes", sort_within=[key]
     )

@@ -126,20 +126,28 @@ def _pg_binary(col) -> "F.Column":
     ).otherwise(F.unbase64(col))
 
 
-def _finish(rows: DataFrame, table_schema: T.StructType) -> DataFrame:
+def _finish(rows: DataFrame, table_schema: T.StructType, binary: str = "pg") -> DataFrame:
     """Pivot the name/value map onto the table's columns, cast through
-    the string physical mapping (binary = hex-escape or base64,
-    timestamps = layout cascade / epoch arm), append RawRecord metadata
-    columns."""
+    the string physical mapping (binary = hex-escape/base64 for the
+    Postgres/Kafka conventions, plain lowercase hex for Mongo's
+    ``filterMongoObject`` rendering), append RawRecord metadata
+    columns. A ``__ts`` already typed timestamp skips the string
+    cascade."""
     data_cols = [f for f in table_schema.fields if f.name not in ("_op_type", "_cdc_timestamp")]
+    ts = (
+        F.col("__ts")
+        if isinstance(rows.schema["__ts"].dataType, T.TimestampType)
+        else _wire_timestamp(F.col("__ts"))
+    )
     out = rows.select(
         *[F.col("__m").getItem(f.name).alias(f.name) for f in data_cols],
         F.col("__op").alias("_op_type"),
-        _wire_timestamp(F.col("__ts")).alias("_cdc_timestamp"),
+        ts.alias("_cdc_timestamp"),
     )
+    bin_fn = F.unhex if binary == "hex" else _pg_binary
     for f in data_cols:
         if isinstance(f.dataType, T.BinaryType):
-            out = out.withColumn(f.name, _pg_binary(F.col(f.name)))
+            out = out.withColumn(f.name, bin_fn(F.col(f.name)))
     return align_batch(out, table_schema)
 
 
@@ -237,3 +245,110 @@ def decode_binlog_rows(
         F.map_from_arrays(F.col("__names"), F.col("__vals")).alias("__m"),
     )
     return _finish(rows, table_schema)
+
+
+# ------------------------------------------------------------------ T3:
+# Mongo change streams (drivers/mongodb/internal/cdc.go:29-177)
+
+#: the change-stream document shape the reference's CDCDocument decodes
+#: (cdc.go:29-35): _id._data is the resume token; fullDocument carries
+#: post-image values already normalized by filterMongoObject
+#: (mon.go:241-266 — binary as lowercase hex, ObjectID as hex,
+#: Decimal128 as string); documentKey is the key set for deletes.
+MONGO_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StructType([T.StructField("_data", T.StringType())])),
+        T.StructField("operationType", T.StringType()),
+        T.StructField(
+            "clusterTime",
+            T.StructType(
+                [T.StructField("t", T.LongType()), T.StructField("i", T.LongType())]
+            ),
+        ),
+        T.StructField("wallTime", T.StringType()),
+        T.StructField("fullDocument", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("documentKey", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+_MONGO_OP_TO_OP = {"insert": "c", "update": "u", "delete": "d"}
+
+
+def decode_mongo_change_stream(
+    raw: DataFrame,
+    table_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Mongo change-stream documents (one JSON document per row in
+    ``value_col``) → RawRecord rows.
+
+    Mirrors handleChangeDoc (cdc.go:148-177): operation types other
+    than insert/update/delete are dropped (the reference's $match
+    pipeline, cdc.go:40-44); deletes substitute ``documentKey`` for the
+    null ``fullDocument`` (cdc.go:154-156); the change timestamp is
+    ``wallTime`` (millisecond precision) when present, else
+    ``clusterTime`` as ``T*1000 + I`` milliseconds (cdc.go:161-164).
+    Binary columns arrive as filterMongoObject's lowercase hex
+    (mon.go:252-253) and are unhexed.
+    """
+    msg = raw.select(
+        F.from_json(F.col(value_col).cast("string"), MONGO_CHANGE_SCHEMA).alias("__c")
+    )
+    rows = msg.select(
+        _op_map_expr(_MONGO_OP_TO_OP)[F.col("__c.operationType")].alias("__op"),
+        F.when(
+            F.col("__c.operationType") == "delete", F.col("__c.documentKey")
+        )
+        .otherwise(F.col("__c.fullDocument"))
+        .alias("__m"),
+        F.coalesce(
+            _wire_timestamp(F.col("__c.wallTime")),
+            F.timestamp_millis(
+                F.col("__c.clusterTime.t") * 1000 + F.col("__c.clusterTime.i")
+            ),
+        ).alias("__ts"),
+    ).filter(F.col("__op").isNotNull())
+    return _finish(rows, table_schema, binary="hex")
+
+
+def mongo_resume_token_op_time(token: str) -> tuple[int, int]:
+    """Resume-token hex → (timestamp seconds, increment) — the sortable
+    opTime the reference extracts for catch-up checks
+    (decodeResumeTokenOpTime, cdc.go:239-249): one keystring type byte,
+    then two big-endian uint32s."""
+    try:
+        b = bytes.fromhex(token)
+    except ValueError as e:
+        raise ValueError("invalid resume token") from e
+    if len(b) < 9:
+        raise ValueError("invalid resume token")
+    return int.from_bytes(b[1:5], "big"), int.from_bytes(b[5:9], "big")
+
+
+def mongo_next_resume_token(raw: DataFrame, value_col: str = "value") -> str | None:
+    """Max resume token across a batch by decoded (T, I) opTime — the
+    cursor to persist after the batch commits (PostCDC, cdc.go:178-189:
+    the token is check-pointed only on a clean batch). JVM-side: the
+    opTime lives at fixed hex offsets (1 type byte + two BE uint32s →
+    hex chars 3-10 and 11-18), so the ordering key is pure ``conv``
+    math — no Python in the path. Tiny agg, one row back."""
+    tok = F.col("__c._id._data")
+    key = F.conv(F.substring(tok, 3, 8), 16, 10).cast("long") * F.lit(1 << 32) + F.conv(
+        F.substring(tok, 11, 8), 16, 10
+    ).cast("long")
+    r = (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), MONGO_CHANGE_SCHEMA).alias("__c")
+        )
+        .filter(tok.isNotNull())
+        .agg(F.max_by(tok, key).alias("t"))
+        .first()
+    )
+    return None if r is None else r["t"]
+
+
+def mongo_stream_caught_up(token: str, cluster_op_time: tuple[int, int]) -> bool:
+    """The idle-termination check (handleIdleCheckpoint,
+    cdc.go:121-146): the bounded drain stops when the cluster opTime no
+    longer leads the stream's resume-token opTime."""
+    return not (cluster_op_time > mongo_resume_token_op_time(token))

@@ -219,3 +219,96 @@ class TestWireTimestampAndBytea:
         out = decode_wal2json(raw, TBL_SCHEMA, "public", "clips")
         rows = {r["id"]: bytes(r["payload"]) for r in out.collect()}
         assert rows == {1: b"\x0a\x0b\x0c", 2: b"\x0a\x0b\x0c"}
+
+
+def _mongo_evt(op, token_seq, full=None, key=None, wall="2026-01-03 00:00:07", t=None, i=None):
+    tok = "82" + format(t or 1767000000, "08x") + format(i if i is not None else token_seq, "08x") + "aa" * 4
+    doc = {
+        "_id": {"_data": tok},
+        "operationType": op,
+        "clusterTime": {"t": t or 1767000000, "i": i if i is not None else token_seq},
+    }
+    if wall is not None:
+        doc["wallTime"] = wall
+    if full is not None:
+        doc["fullDocument"] = full
+    if key is not None:
+        doc["documentKey"] = key
+    return json.dumps(doc)
+
+
+class TestMongoChangeStream:
+    """T3 decoder vs drivers/mongodb/internal/cdc.go:29-177 semantics."""
+
+    def test_insert_update_delete_replace_dropped(self, spark):
+        from olake_spark.streaming.wire import decode_mongo_change_stream
+
+        msgs = [
+            _mongo_evt("insert", 1, full={"id": "1", "name": "alpha", "payload": "0a0b"}),
+            _mongo_evt("update", 2, full={"id": "1", "name": "alpha2", "payload": "0a0b"}),
+            _mongo_evt("delete", 3, key={"id": "1"}),
+            # $match drops anything not insert/update/delete (cdc.go:40-44)
+            _mongo_evt("replace", 4, full={"id": "9", "name": "nope"}),
+            _mongo_evt("drop", 5),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        out = decode_mongo_change_stream(raw, TBL_SCHEMA)
+        assert out.schema == TBL_SCHEMA
+        rows = {(r["id"], r["_op_type"]): r for r in out.collect()}
+        assert set(rows) == {(1, "c"), (1, "u"), (1, "d")}
+        # delete carries documentKey only (cdc.go:154-156)
+        assert rows[(1, "d")]["name"] is None
+        # binary is filterMongoObject's hex rendering (mon.go:252-253)
+        assert bytes(rows[(1, "c")]["payload"]) == b"\x0a\x0b"
+        assert rows[(1, "u")]["_cdc_timestamp"].second == 7
+
+    def test_cluster_time_fallback(self, spark):
+        """No wallTime → clusterTime T*1000+I milliseconds (cdc.go:161-164)."""
+        from olake_spark.streaming.wire import decode_mongo_change_stream
+
+        raw = spark.createDataFrame(
+            [(_mongo_evt("insert", 1, full={"id": "5"}, wall=None, t=1735689600, i=250),)],
+            "value string",
+        )
+        r = decode_mongo_change_stream(raw, TBL_SCHEMA).first()
+        assert r["_cdc_timestamp"].year == 2025
+        assert r["_cdc_timestamp"].microsecond == 250_000
+
+    def test_resume_token_op_time_and_cursor(self, spark):
+        from olake_spark.streaming.wire import (
+            mongo_next_resume_token,
+            mongo_resume_token_op_time,
+            mongo_stream_caught_up,
+        )
+
+        msgs = [
+            _mongo_evt("insert", 0, full={"id": "1"}, t=1767000001, i=2),
+            _mongo_evt("insert", 0, full={"id": "2"}, t=1767000009, i=1),
+            _mongo_evt("insert", 0, full={"id": "3"}, t=1767000009, i=0),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        best = mongo_next_resume_token(raw)
+        assert mongo_resume_token_op_time(best) == (1767000009, 1)
+        # idle-termination check (handleIdleCheckpoint, cdc.go:121-146)
+        assert mongo_stream_caught_up(best, (1767000009, 1))
+        assert mongo_stream_caught_up(best, (1767000008, 5))
+        assert not mongo_stream_caught_up(best, (1767000010, 0))
+
+    def test_resume_token_invalid(self):
+        from olake_spark.streaming.wire import mongo_resume_token_op_time
+
+        for bad in ("zz", "82aabb"):
+            with pytest.raises(ValueError, match="invalid resume token"):
+                mongo_resume_token_op_time(bad)
+
+    def test_feeds_merge_shape(self, spark):
+        """Decoded rows align to the table schema and merge cleanly."""
+        from olake_spark.streaming.wire import decode_mongo_change_stream
+
+        raw = spark.createDataFrame(
+            [(_mongo_evt("insert", 1, full={"id": "77", "name": "m", "payload": "00ff"}),)],
+            "value string",
+        )
+        r = decode_mongo_change_stream(raw, TBL_SCHEMA).first()
+        assert r["_op_type"] == "c" and r["id"] == 77
+        assert bytes(r["payload"]) == b"\x00\xff"
