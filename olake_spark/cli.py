@@ -289,29 +289,48 @@ def cmd_sync(cfg: dict) -> dict:
             return expire_snapshots(t, keep_last=s.get("keep_last", 2))
         raise ValueError(f"unknown op {op!r}")
 
-    results = []
-    for i, s in enumerate(cfg.get("stages", [])):
-        op = s["op"]
-        if op == "auto":
-            # plan from current metadata, run what's due. Auto stages run
-            # WITHOUT the lineage manifest: their idempotence comes from
-            # table state (a completed stage stops triggering), and a
-            # recurring sync re-using the same job_id must not skip a
-            # stage that has become due again since the last run.
-            from olake_spark.plans.maintenance import plan_maintenance
+    from olake_spark.plans.ticker import StatsTicker
 
-            planned = plan_maintenance(t)
-            for j, ps in enumerate(planned):
-                stage_id = f"{i:02d}-auto-{j:02d}-{ps['op']}"
-                r = exec_stage(i, stage_id, ps, stage_lin=None)
-                results.append({"stage": stage_id, "reason": ps.get("reason"), **r})
-            if not planned:
-                results.append({"stage": f"{i:02d}-auto", "planned": 0})
-            continue
-        stage_id = f"{i:02d}-{op}"
-        r = exec_stage(i, stage_id, s, stage_lin=lin)
-        results.append({"stage": stage_id, **r})
-    return {"job_id": job_id, "lineage": lineage_path, "stages": results}
+    stats_path = cfg.get("stats_path") or os.path.join(
+        t.location, "metadata", f"stats-{job_id}.json"
+    )
+    results = []
+    # A5: live stats.json ticker (2-second RPS/ETA/memory snapshots,
+    # destination/writers.go:123-129 + logger.go:138-173). Stage rows
+    # are known up front only for sized ops; rows synced bump per
+    # completed stage — commit granularity, the honest unit here.
+    with StatsTicker(stats_path) as stats:
+        for i, s in enumerate(cfg.get("stages", [])):
+            op = s["op"]
+            if op == "auto":
+                # plan from current metadata, run what's due. Auto stages run
+                # WITHOUT the lineage manifest: their idempotence comes from
+                # table state (a completed stage stops triggering), and a
+                # recurring sync re-using the same job_id must not skip a
+                # stage that has become due again since the last run.
+                from olake_spark.plans.maintenance import plan_maintenance
+
+                planned = plan_maintenance(t)
+                for j, ps in enumerate(planned):
+                    stage_id = f"{i:02d}-auto-{j:02d}-{ps['op']}"
+                    stats.set_stage(stage_id)
+                    r = exec_stage(i, stage_id, ps, stage_lin=None)
+                    stats.record_synced(r.get("rows", r.get("written_rows", 0)) or 0)
+                    results.append({"stage": stage_id, "reason": ps.get("reason"), **r})
+                if not planned:
+                    results.append({"stage": f"{i:02d}-auto", "planned": 0})
+                continue
+            stage_id = f"{i:02d}-{op}"
+            stats.set_stage(stage_id)
+            r = exec_stage(i, stage_id, s, stage_lin=lin)
+            stats.record_synced(r.get("rows", r.get("written_rows", 0)) or 0)
+            results.append({"stage": stage_id, **r})
+    return {
+        "job_id": job_id,
+        "lineage": lineage_path,
+        "stats": stats_path,
+        "stages": results,
+    }
 
 
 def cmd_clear(cfg: dict) -> dict:

@@ -340,3 +340,45 @@ def test_sync_append_with_partition_template(spark, tmp_path):
     out2 = cli.cmd_sync(cfg)
     assert out2["stages"][0].get("skipped") is True
     assert Table.load(spark, t.location).scan().count() == 120
+
+
+def test_sync_writes_live_stats_file(spark, tmp_path):
+    """A5: cmd_sync maintains a stats.json with the reference's fields
+    (logger.go:152-166) and leaves a final flush after the last stage."""
+    t = _mk(spark, tmp_path)
+    cfg = {
+        "table": t.location,
+        "job_id": "job-S",
+        "stages": [{"op": "compact"}, {"op": "rewrite_manifests"}],
+    }
+    out = cli.cmd_sync(cfg)
+    with open(out["stats"]) as f:
+        stats = json.load(f)
+    for field in (
+        "Stage", "Synced Records", "Memory", "Speed",
+        "Seconds Elapsed", "Estimated Remaining Time",
+    ):
+        assert field in stats
+    assert stats["Stage"] == "01-rewrite_manifests"
+    assert stats["Speed"].endswith("rps")
+
+
+def test_stats_ticker_updates_periodically(tmp_path):
+    import time as _time
+
+    from olake_spark.plans.ticker import StatsTicker
+
+    p = str(tmp_path / "stats.json")
+    with StatsTicker(p, interval_s=0.05) as st:
+        st.add_records_to_sync(100)
+        st.record_synced(40)
+        _time.sleep(0.2)
+        first = json.load(open(p))
+        st.record_synced(60)
+        _time.sleep(0.2)
+        second = json.load(open(p))
+    assert first["Synced Records"] == 40
+    assert second["Synced Records"] == 100
+    assert second["Estimated Remaining Time"].endswith("s")
+    final = json.load(open(p))
+    assert final["Synced Records"] == 100
