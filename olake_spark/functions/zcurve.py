@@ -13,9 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-
-from olake_spark.functions.hashing import mmh3_32_bytes
 
 _BITS = 21  # 3 × 21 = 63 bits → fits signed int64
 
@@ -96,20 +95,31 @@ def _scale_to_bits(v: np.ndarray, lo: float, hi: float, bits: int) -> np.ndarray
 def zorder_key_udf(dur_lo: int, dur_hi: int, sr_lo: int, sr_hi: int):
     """Z-order key over (murmur3(clip_id), dur_ms, sr_hz).
 
-    clip_id is hashed (already uniform); dur/sr are min-max scaled into
-    the 21-bit grid from driver-computed bounds (one agg pass) so the
+    The clip_id hash arrives as a PRE-COMPUTED int32 column
+    (``F.hash(clip_id)`` — Spark's JVM murmur3, inside whole-stage
+    codegen): the curve needs a uniform spreading hash, not a specific
+    one, and hashing JVM-side keeps the string column out of the Arrow
+    transfer and the per-row encode/pack loop out of Python — the UDF
+    is pure fixed-width numpy. dur/sr are min-max scaled into the
+    21-bit grid from driver-computed bounds (one agg pass) so the
     interleave weights dimensions evenly.
     """
 
     @pandas_udf("long")
-    def _zkey(clip_id: pd.Series, dur_ms: pd.Series, sr_hz: pd.Series) -> pd.Series:
-        h = mmh3_32_bytes([s.encode("utf-8") for s in clip_id.fillna("").tolist()])
-        a = (h.view(np.uint32).astype(np.int64)) >> (32 - _BITS)  # top 21 bits
+    def _zkey(h32: pd.Series, dur_ms: pd.Series, sr_hz: pd.Series) -> pd.Series:
+        h = h32.to_numpy(dtype=np.int64, na_value=0)
+        a = (h & 0xFFFFFFFF) >> (32 - _BITS)  # top 21 bits
         b = _scale_to_bits(dur_ms.to_numpy(dtype=np.int64, na_value=dur_lo), dur_lo, dur_hi, _BITS)
         c = _scale_to_bits(sr_hz.to_numpy(dtype=np.int64, na_value=sr_lo), sr_lo, sr_hi, _BITS)
         return pd.Series(morton3(a, b, c))
 
     return _zkey
+
+
+def zorder_key_cols(id_col: str = "clip_id"):
+    """The input columns for ``zorder_key_udf`` — hash computed
+    JVM-side so only three int columns cross into Arrow."""
+    return [F.hash(F.col(id_col)), F.col("dur_ms"), F.col("sr_hz")]
 
 
 def hilbert_key_udf(dur_lo: int, dur_hi: int, sr_lo: int, sr_hi: int, order: int = 16):

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from olake_spark.functions.hashing import mmh3_32_bytes
-from olake_spark.functions.zcurve import hilbert_key_udf, zorder_key_udf
+from olake_spark.functions.zcurve import hilbert_key_udf, zorder_key_cols, zorder_key_udf
 from olake_spark.plans.lineage import LineageManifest
 from olake_spark.table.table import Table
 
@@ -177,7 +177,7 @@ def cluster(
     b = _bounds(df, ["dur_ms", "sr_hz"], entries=entries)
     if curve == "zorder":
         key_udf = zorder_key_udf(b["dur_ms"][0], b["dur_ms"][1], b["sr_hz"][0], b["sr_hz"][1])
-        keyed = df.withColumn(KEY_COL, key_udf("clip_id", "dur_ms", "sr_hz"))
+        keyed = df.withColumn(KEY_COL, key_udf(*zorder_key_cols()))
     elif curve == "hilbert":
         key_udf = hilbert_key_udf(b["dur_ms"][0], b["dur_ms"][1], b["sr_hz"][0], b["sr_hz"][1])
         keyed = df.withColumn(KEY_COL, key_udf("dur_ms", "sr_hz"))

@@ -49,7 +49,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from olake_spark.functions.zcurve import hilbert_key_udf, zorder_key_udf
+from olake_spark.functions.zcurve import hilbert_key_udf, zorder_key_cols, zorder_key_udf
 from olake_spark.operators.clustering import (
     BOUNDS_PROP,
     CURVE_PROP,
@@ -111,7 +111,7 @@ def _key_udf_for(curve: str, bounds: dict):
     d_lo, d_hi = bounds["dur_ms"]
     s_lo, s_hi = bounds["sr_hz"]
     if curve == "zorder":
-        return zorder_key_udf(d_lo, d_hi, s_lo, s_hi), ["clip_id", "dur_ms", "sr_hz"]
+        return zorder_key_udf(d_lo, d_hi, s_lo, s_hi), zorder_key_cols()
     if curve == "hilbert":
         return hilbert_key_udf(d_lo, d_hi, s_lo, s_hi), ["dur_ms", "sr_hz"]
     raise ValueError(f"unknown curve {curve!r}")
@@ -196,7 +196,7 @@ def cluster_incremental(
     if new_e:
         nk = (
             table.scan(entries=new_e)
-            .select(key_udf(*[F.col(c) for c in key_cols]).alias("__k"))
+            .select(key_udf(*[c if not isinstance(c, str) else F.col(c) for c in key_cols]).alias("__k"))
         )
         if sorted_e:
             bdf = table.spark.createDataFrame(
@@ -265,7 +265,7 @@ def cluster_incremental(
     n_ranges = max(1, math.ceil(total_bytes / target_size))
 
     keyed = table.scan(entries=rewrite).withColumn(
-        KEY_COL, key_udf(*[F.col(c) for c in key_cols])
+        KEY_COL, key_udf(*[c if not isinstance(c, str) else F.col(c) for c in key_cols])
     )
     boundaries, salt_counts = _plan_ranges(
         keyed, total_bytes, total_rows, n_ranges, sample_rows, row_weight, skew_cap
