@@ -34,7 +34,7 @@ def test_spec_lists_all_ops():
     spec = cli.cmd_spec({})
     ops = spec["properties"]["stages"]["items"]["properties"]["op"]["enum"]
     assert set(ops) == {
-        "cdc_merge", "merge", "merge_mor", "fold_deletes",
+        "append", "cdc_merge", "merge", "merge_mor", "fold_deletes",
         "compact", "cluster", "cluster_incremental",
         "resample", "rewrite_manifests", "expire", "auto",
     }
