@@ -95,6 +95,17 @@ AUDITS = {
     "raw_layout": [
         ("JSON round trip JVM-side", "[codegen id :"),
     ],
+    "stream_filter": [
+        # the parsed user-filter grammar must reach the parquet scan as
+        # native pushed filters, not a post-scan Filter-only plan
+        ("grammar filter pushed to scan",
+         "PushedFilters: [IsNotNull(o_totalprice)"),
+        ("value predicates pushed",
+         "GreaterThanOrEqual(o_totalprice,100000.5)"),
+        ("projection pruned to 3 columns",
+         "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+        ("no row-at-a-time eval", "!BatchEvalPython"),
+    ],
     "minhash_signatures": [
         # round-2 lane split: ONE digest per shingle, k lanes of it;
         # AQE wraps the spread plan so codegen ids only appear
