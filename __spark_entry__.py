@@ -3,11 +3,10 @@
 ``entry(spark)`` smoke-runs the flagship MERGE-upsert query at
 sf0.001. ``queries()`` exposes one entry per implemented operator from
 SURVEY.md §2 plus the training-data-pipeline ops; ``oracle_sql()``
-carries the DuckDB-equivalent SQL. Omitted (rows-only) entries are the
-four SQL cannot express — murmur3 bucket transform, PCM synthesis, and
-the image/video binary stages — which pytest verifies against Iceberg
-spec vectors, SNR invariants, and deterministic decode fixtures
-instead. See COVERAGE.md for the full operator → query → test map.
+carries the DuckDB-equivalent SQL for every query — including the
+iterative Lloyd trainer, whose fixed round count is unrolled into
+chained CTEs — so the driver hash-checks all of them. See COVERAGE.md
+for the full operator → query → test map.
 """
 
 from __future__ import annotations

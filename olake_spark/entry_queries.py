@@ -2115,14 +2115,73 @@ def audio_segments(spark, sf_dir):
     return segs.select("clip_id", "seg_idx", "start_ms", "n_bytes")
 
 
-@_register("ivf_train", None)  # iterative (Lloyd) — no SQL oracle; pytest gates
+def _ivf_train_oracle_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Full DuckDB replication of train_centroids (operators/kmeans.py)
+    as chained CTEs — the iterative structure is unrolled because the
+    round counts are fixed query parameters, so every step is plain
+    SQL: k−1 farthest-point init rounds (max over a {'d', 'v'} struct ≙
+    Spark's max_by(v, struct(d, v)) total order), then per iteration an
+    argmin assignment (list_position of list_max — first max wins, as
+    array_position does), a per-(centroid, dim) mean via positional
+    unnest, and the max centroid L2 shift. Both engines do the same
+    float64 math on the same values, and max_shift is rounded to 2
+    decimals on both sides, so the value hash is stable."""
+    dot = "list_sum(list_transform(list_zip({v}, cc), z -> z[1]*z[2]))"
+    norm2 = "list_sum(list_transform({x}, x -> x*x))"
+    scores = (
+        "list_transform({ch}, cc -> " + dot + " - "
+        + norm2.format(x="cc") + "/2)"
+    )
+    parts = [
+        "WITH emb AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)",
+        "ch1 AS (SELECT list_value(v) AS ch FROM"
+        " (SELECT v FROM emb ORDER BY v LIMIT 1))",
+    ]
+    for i in range(2, k + 1):
+        d = (norm2.format(x="v") + "/2 - list_max("
+             + scores.format(ch="ch", v="v") + ")")
+        parts.append(
+            f"ch{i} AS (SELECT list_append(ch, (max({{'d': {d}, 'v': v}})).v)"
+            f" AS ch FROM emb, ch{i - 1} GROUP BY ch)"
+        )
+    parts.append(f"cents0 AS (SELECT ch FROM ch{k})")
+    sqdiff = ("list_sum(list_transform(list_zip(z[1], z[2]),"
+              " w -> (w[1]-w[2])*(w[1]-w[2])))")
+    for t in range(1, iters + 1):
+        s = scores.format(ch="ch", v="v")
+        parts += [
+            f"a{t} AS (SELECT CAST(list_position(S, list_max(S)) - 1 AS INT)"
+            f" AS c, v FROM (SELECT {s} AS S, v FROM emb, cents{t - 1}))",
+            f"m{t} AS (SELECT c, p, avg(x) AS m FROM (SELECT c,"
+            f" unnest(v) AS x, unnest(range(1, {dim + 1})) AS p FROM a{t})"
+            f" GROUP BY c, p)",
+            f"g{t} AS (SELECT c, list(m ORDER BY p) AS mv FROM m{t}"
+            f" GROUP BY c)",
+            # empty clusters keep the previous centroid (coalesce)
+            f"cents{t} AS (SELECT list(coalesce(g.mv, prev.ch[idx.ci + 1])"
+            f" ORDER BY idx.ci) AS ch"
+            f" FROM (SELECT unnest(range(0, {k})) AS ci) idx"
+            f" CROSS JOIN cents{t - 1} prev LEFT JOIN g{t} g ON g.c = idx.ci)",
+            f"h{t} AS (SELECT {t - 1} AS iter, (SELECT CAST(count(*) AS INT)"
+            f" FROM g{t}) AS nonempty, round(sqrt(list_max(list_transform("
+            f"list_zip(n.ch, p.ch), z -> {sqdiff}))), 2) AS max_shift"
+            f" FROM cents{t} n, cents{t - 1} p)",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM h{t}" for t in range(1, iters + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
+@_register("ivf_train", _ivf_train_oracle_sql())
 def ivf_train(spark, sf_dir):
     """IVF quantizer TRAINING (operators/kmeans.py): distributed Lloyd
     iterations — broadcast-literal assign, posexplode+avg update, only
     the k×dim matrix ever on the driver. Deterministic farthest-point
-    init. Returns the per-iteration convergence history; cluster
-    recovery/purity and trained-beats-seeded list balance are gated in
-    tests/test_kmeans.py (iterative ⇒ rows-only driver check)."""
+    init. Returns the per-iteration convergence history, hash-checked
+    against a full SQL unrolling of the same fixed-round algorithm
+    (_ivf_train_oracle_sql); cluster recovery/purity and
+    trained-beats-seeded list balance are gated in tests/test_kmeans.py."""
     from olake_spark.operators.kmeans import train_centroids
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
