@@ -176,3 +176,164 @@ def test_vad_segment_runs_partition_active_frames(n, seed, gap_mod_off):
     for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
         assert e1 < s2
     assert all(e > s for s, e in segs)
+
+
+# ---------------------------------------------------------------------------
+# user filter grammar (plans/filters.py) — pure parse, no Spark
+
+
+_BARE = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,15}", fullmatch=True)
+_OPS = st.sampled_from([">=", "<=", "!=", ">", "<", "="])
+_WS = st.sampled_from(["", " ", "  ", "\t"])
+
+
+def _col():
+    # quoted (any non-quote chars) or bare word
+    return st.one_of(
+        st.from_regex(r'[^"\n]{0,12}', fullmatch=True).map(lambda s: f'"{s}"'),
+        _BARE,
+    )
+
+
+def _val():
+    return st.one_of(
+        st.from_regex(r'[^"\n]{0,12}', fullmatch=True).map(lambda s: f'"{s}"'),
+        st.integers(-10**6, 10**6).map(str),
+        st.from_regex(r"-?\d{1,6}\.\d{1,6}", fullmatch=True),
+        st.from_regex(r"\.\d{1,6}", fullmatch=True),
+        # bare word — but not a token the grammar reads as a combinator
+        _BARE.filter(lambda s: s.lower() not in ("and", "or")),
+    )
+
+
+def _unquote(tok: str) -> str:
+    return tok[1:-1] if tok.startswith('"') and tok.endswith('"') else tok
+
+
+@given(_col(), _OPS, _val(), st.one_of(st.none(), st.sampled_from(
+    ["and", "AND", "or", "Or"])), _col(), _OPS, _val(), _WS, _WS)
+@settings(max_examples=300, deadline=None)
+def test_filter_grammar_roundtrip(c1, o1, v1, logical, c2, o2, v2, w1, w2):
+    """Any string assembled from the grammar's own token classes parses
+    back to exactly the tokens that produced it (whitespace-insensitive,
+    value quotes preserved — the reference keeps them too)."""
+    from olake_spark.plans.filters import parse_filter
+
+    text = f"{c1}{w1}{o1}{w2}{v1}"
+    if logical:
+        text += f" {logical} {c2} {o2} {v2}"
+    f = parse_filter(text)
+    assert f.conditions[0].column == _unquote(c1)
+    assert f.conditions[0].operator == o1
+    assert f.conditions[0].value == v1
+    if logical:
+        assert f.logical_operator == logical
+        assert f.conditions[1].column == _unquote(c2)
+        assert f.conditions[1].operator == o2
+        assert f.conditions[1].value == v2
+    else:
+        assert f.logical_operator == ""
+        assert len(f.conditions) == 1
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=500, deadline=None)
+def test_filter_fuzz_parses_or_rejects_cleanly(text):
+    """Arbitrary input either parses to a 1-2 condition Filter or raises
+    the grammar's ValueError — never any other exception (the CLI
+    surfaces this error verbatim at cmd_check time)."""
+    from olake_spark.plans.filters import Filter, parse_filter
+
+    try:
+        f = parse_filter(text)
+    except ValueError as e:
+        assert "invalid filter format" in str(e)
+    else:
+        assert isinstance(f, Filter)
+        assert len(f.conditions) in (0, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# lexicographic tuple predicates (sources/jdbc.py) — checked against
+# Python tuple comparison with DuckDB evaluating the rendered SQL
+
+
+@given(
+    st.integers(1, 3),
+    st.lists(st.tuples(st.integers(-5, 5), st.integers(-5, 5),
+                       st.integers(-5, 5)), min_size=1, max_size=12),
+    st.tuples(st.integers(-5, 5), st.integers(-5, 5), st.integers(-5, 5)),
+    st.sampled_from([">=", "<"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tuple_cmp_sql_matches_python_tuple_order(arity, rows, bound, op):
+    """The AND/OR expansion evaluates exactly like Python's native tuple
+    comparison for every row — the property the chunk contract rests on
+    (half-open [min, max) tuple ranges)."""
+    import duckdb
+
+    from olake_spark.sources.jdbc import tuple_cmp_sql
+
+    cols = [f"c{i}" for i in range(arity)]
+    rows = [r[:arity] for r in rows]
+    b = bound[:arity]
+    sql = tuple_cmp_sql(cols, b, op, quote=lambda c: c)
+    values = ", ".join("(" + ", ".join(map(str, r)) + ")" for r in rows)
+    got = duckdb.sql(
+        f"SELECT {sql} FROM (VALUES {values}) AS t({', '.join(cols)})"
+    ).fetchall()
+    want = [(r >= b) if op == ">=" else (r < b) for r in rows]
+    assert [g[0] for g in got] == want
+
+
+# ---------------------------------------------------------------------------
+# scaling-artifact union (tools/merge_scaling.py) — pure math
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(1.0, 100.0), min_size=1, max_size=4),
+        min_size=2, max_size=2,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=50, deadline=None)
+def test_merge_scaling_min_of_union_equals_min_of_mins(samples, split):
+    """Merging N artifacts must give the same minima as one artifact
+    carrying all draws — evidence accumulates, never resets."""
+    import json
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.merge_scaling import STAGES, merge
+
+    def artifact(draws_lo, draws_hi):
+        mk = lambda d: {s: list(d) for s in STAGES}  # noqa: E731
+        return {
+            "n_clips": 1000,
+            "runs": {
+                "local[2]": {"all_sec": mk(draws_lo), "all_cold_sec": mk([])},
+                "local[8]": {"all_sec": mk(draws_hi), "all_cold_sec": mk([])},
+            },
+        }
+
+    lo, hi = samples
+    k = min(split, len(lo) - 1) or 1
+    parts = [artifact(lo[:k], hi), artifact(lo[k:] or lo[:1], hi)]
+    whole = artifact(lo, hi)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i, a in enumerate(parts + [whole]):
+            p = f"{d}/a{i}.json"
+            json.dump(a, open(p, "w"))
+            paths.append(p)
+        merged = merge(paths[:2])
+        solo = merge(paths[2:])
+    for c in ("local[2]", "local[8]"):
+        union_min = merged["runs"][c]["stages_sec"]
+        # the union of parts covers at least every draw in `whole`
+        for s in STAGES:
+            assert union_min[s] <= solo["runs"][c]["stages_sec"][s] + 1e-9
+    assert merged["cores_ratio"] == 4.0
