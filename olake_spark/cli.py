@@ -127,10 +127,37 @@ def cmd_check(cfg: dict) -> dict:
         if s.get("filter"):
             # the reference validates the filter grammar at Check time
             # (stream_configured.go:157) — fail fast, not mid-sync
+            if s.get("op") not in ("append", "cdc_merge", "merge", "merge_mor"):
+                # exec_stage applies filters only to source-consuming ops;
+                # accepting one elsewhere would let the user believe rows
+                # were restricted when the stage ran unfiltered
+                errors.append(
+                    f"filter is not supported on op {s.get('op')!r} "
+                    "(only append/merge/merge_mor/cdc_merge read a source)"
+                )
             try:
                 parse_filter(s["filter"])
             except ValueError as e:
                 errors.append(str(e))
+        if s.get("partition_regex"):
+            if s.get("op") != "append":
+                errors.append(
+                    f"partition_regex is not supported on op {s.get('op')!r} "
+                    "(only append writes through the path template)"
+                )
+            else:
+                # the renderer is deliberately lenient (malformed {...}
+                # blocks render empty, parquet.go:410-411) — the pure
+                # parse is the syntax gate, run WITHOUT a Spark session
+                # (check validates config before starting one)
+                try:
+                    from olake_spark.functions.transforms import (
+                        parse_partition_pattern,
+                    )
+
+                    parse_partition_pattern(s["partition_regex"])
+                except Exception as e:
+                    errors.append(f"invalid partition_regex: {e}")
     if not os.path.isdir(cfg.get("table", "")):
         errors.append(f"table location not found: {cfg.get('table')}")
     if errors:
@@ -295,11 +322,37 @@ def cmd_sync(cfg: dict) -> dict:
         t.location, "metadata", f"stats-{job_id}.json"
     )
     results = []
+
+    def _source_footer_rows(s: dict) -> int:
+        """Planned row count for a source-consuming stage from parquet
+        footers — driver-side metadata only, no Spark job. With a
+        stream filter this is an upper bound, like the reference's
+        chunk-plan estimate (AddRecordsToSyncStats is approximate
+        there too)."""
+        d = s.get("source_dir")
+        if not d or not os.path.isdir(d):
+            return 0
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    except Exception:
+                        pass
+        return n
+
     # A5: live stats.json ticker (2-second RPS/ETA/memory snapshots,
     # destination/writers.go:123-129 + logger.go:138-173). Stage rows
     # are known up front only for sized ops; rows synced bump per
     # completed stage — commit granularity, the honest unit here.
     with StatsTicker(stats_path) as stats:
+        for s in cfg.get("stages", []):
+            # seed Records To Sync so the ETA estimate is live (the
+            # ticker reports 'Not Determined' until a total is known)
+            stats.add_records_to_sync(_source_footer_rows(s))
         for i, s in enumerate(cfg.get("stages", [])):
             op = s["op"]
             if op == "auto":

@@ -98,6 +98,34 @@ def reformat_epoch(col: Column | str) -> Column:
     return clamp_year(F.timestamp_seconds(c.cast("long")))
 
 
+def reformat_epoch_auto(col: Column | str) -> Column:
+    """Integer epoch → timestamp with UNIT detection by digit count.
+
+    The reference's int64 arm is seconds-only (reformat.go:161-168),
+    but CDC wires mix units: the binlog header is epoch seconds, Mongo
+    ``wallTime`` is epoch milliseconds, GTID carries microseconds.
+    Fed to the seconds arm, a millisecond value lands in year ~56938
+    and the year clamp collapses it to 9999 — every row gets the same
+    _cdc_timestamp and merge dedup ordering silently degrades to
+    op-priority only. Digit count disambiguates unambiguously for any
+    date between 1973 and 5138: ≤11 digits seconds, 12-14 millis,
+    15-17 micros, 18+ nanos (truncated to micros exactly, via the
+    digit string — a double divide would lose precision at 10^18)."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.length(F.regexp_replace(c, r"^-", ""))
+    n = c.cast("long")
+    return clamp_year(
+        F.when(digits <= 11, F.timestamp_seconds(n))
+        .when(digits <= 14, F.timestamp_millis(n))
+        .when(digits <= 17, F.timestamp_micros(n))
+        .otherwise(
+            F.timestamp_micros(
+                F.regexp_replace(c, r"[0-9]{3}$", "").cast("long")
+            )
+        )
+    )
+
+
 def clamp_year(ts: Column) -> Column:
     """Year clamp [1, 9999] (reformat.go:217-226): pre-year-1 values
     collapse to epoch 0; post-9999 shift down by whole years to 9999."""

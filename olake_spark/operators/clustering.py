@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from olake_spark.functions.hashing import mmh3_32_bytes
-from olake_spark.functions.zcurve import hilbert_key_udf, zorder_key_cols, zorder_key_udf
+from olake_spark.functions.zcurve import (
+    KEY_VERSION,
+    hilbert_key_udf,
+    zorder_key_cols,
+    zorder_key_udf,
+)
 from olake_spark.plans.lineage import LineageManifest
 from olake_spark.table.table import Table
 
@@ -47,6 +52,10 @@ RANGE_COL = "__olake_range"
 #: normalization window its keys were computed under
 CURVE_PROP = "cluster.curve"
 BOUNDS_PROP = "cluster.bounds"
+#: which KEY_VERSION the persisted __curve_key stats were computed
+#: with — a mismatch means old manifests carry keys from a different
+#: hash and incremental upkeep must re-bootstrap with a full pass
+VERSION_PROP = "cluster.key_version"
 
 
 def _bounds(df, cols: list[str], entries=None) -> dict[str, tuple]:
@@ -210,7 +219,11 @@ def cluster(
         new_entries,
         operation=f"cluster-{curve}",
         summary={"ranges": len(boundaries) + 1, "salted": len(salt_counts)},
-        properties={CURVE_PROP: curve, BOUNDS_PROP: json.dumps(b)},
+        properties={
+            CURVE_PROP: curve,
+            BOUNDS_PROP: json.dumps(b),
+            VERSION_PROP: str(KEY_VERSION),
+        },
     )
     sizes = sorted(e.file_size_bytes for e in new_entries)
     med = sizes[len(sizes) // 2] if sizes else 0

@@ -88,13 +88,23 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
     key = table.meta.identifier_fields[0] if table.meta.identifier_fields else None
 
     def _lower(p: str):
+        # NATIVE value ordering: str() would order numeric keys
+        # lexicographically (10 < 2 < 9), widening the output file's
+        # key range and weakening merge narrow-pass pruning
         e = entry_by_path[p]
         v = e.lower_bounds.get(key) if key else None
+        return (v is None, v)
+
+    def _lower_str(p: str):
+        v = _lower(p)[1]
         return (v is None, str(v))
 
     specs = []
     for b in bins:
-        inputs = sorted((p for p, _ in b.items), key=_lower)
+        try:
+            inputs = sorted((p for p, _ in b.items), key=_lower)
+        except TypeError:  # mixed bound types across files
+            inputs = sorted((p for p, _ in b.items), key=_lower_str)
         parts = {entry_by_path[p].partition for p in inputs}
         partition = parts.pop() if len(parts) == 1 else ""
         specs.append(
@@ -283,6 +293,10 @@ def compact(
     broadcast-join→fanout rewrite (`_rewrite_bins`). Both paths feed
     the same footer-stats harvest and the same replace commit, and the
     pre-commit row-count guard holds for both."""
+    if mode not in ("auto", "spark"):
+        # a typo'd mode silently selecting the copy path would invalidate
+        # any copy-vs-spark A/B the caller thinks it is running
+        raise ValueError(f"compact mode must be 'auto' or 'spark', got {mode!r}")
     target_size = target_size or table.target_file_size
     if table.delete_entries():
         from olake_spark.operators.merge import fold_deletes

@@ -49,12 +49,18 @@ import math
 
 from pyspark.sql import functions as F
 
-from olake_spark.functions.zcurve import hilbert_key_udf, zorder_key_cols, zorder_key_udf
+from olake_spark.functions.zcurve import (
+    KEY_VERSION,
+    hilbert_key_udf,
+    zorder_key_cols,
+    zorder_key_udf,
+)
 from olake_spark.operators.clustering import (
     BOUNDS_PROP,
     CURVE_PROP,
     KEY_COL,
     RANGE_COL,
+    VERSION_PROP,
     _assign_range_udf,
     _plan_ranges,
     cluster,
@@ -141,9 +147,14 @@ def cluster_incremental(
 
     state_curve = table.meta.properties.get(CURVE_PROP)
     state_bounds = table.meta.properties.get(BOUNDS_PROP)
+    state_version = table.meta.properties.get(VERSION_PROP)
     if state_curve is None or state_bounds is None or (
         curve is not None and curve != state_curve
-    ):
+    ) or state_version != str(KEY_VERSION):
+        # a KEY_VERSION mismatch means the persisted __curve_key bounds
+        # were computed with a different hash than this build produces —
+        # range-joining new keys against them would silently mis-detect
+        # overlap, so re-bootstrap instead of comparing key spaces
         # bootstrap (or curve change): one full clustering records the
         # curve state this operator maintains from then on
         m = cluster(

@@ -27,13 +27,18 @@ PART_COL = "__p"
 
 def decode_hive_partition(dir_path: str) -> str:
     """``__p0=2024/__p1=flac`` → ``2024/flac`` (Spark URL-escapes
-    special characters in partition values; unquote restores them)."""
+    special characters in partition values; unquote restores them).
+    A segment that rendered '' (empty fallback) is written by Spark as
+    the ``__HIVE_DEFAULT_PARTITION__`` sentinel — map it back to ''
+    so the manifest records the RAW rendered sub-path, matching what
+    ``partition_path_template`` produces for the same row."""
     vals = []
     for seg in dir_path.split("/"):
         if not seg:
             continue
         _, _, v = seg.partition("=")
-        vals.append(unquote(v))
+        v = unquote(v)
+        vals.append("" if v == "__HIVE_DEFAULT_PARTITION__" else v)
     return "/".join(vals)
 
 

@@ -69,24 +69,39 @@ def _assert_scan_stable(source: DataFrame, op: str) -> None:
     if lvl.useMemory or lvl.useDisk:
         return
     offenders: list[str] = []
+    clock_classes = {
+        "CurrentTimestamp", "Now", "CurrentDate", "LocalTimestamp",
+        "CurrentTimeZone",
+    }
     try:
         jplan = source._jdf.queryExecution().analyzed()
+
+        def walk_expr(e):
+            # clock expressions are Catalyst-"deterministic" (folded once
+            # per query) but differ between the merge's two actions;
+            # detect by class so a string LITERAL like 'now()' in data
+            # or a filter value is never a false positive
+            if e.getClass().getSimpleName() in clock_classes:
+                offenders.append(e.sql())
+            if not e.deterministic():
+                offenders.append(e.sql())
+                return  # children are covered by the recursive flag
+            it = e.children().iterator()
+            while it.hasNext():
+                walk_expr(it.next())
 
         def walk(node):
             eit = node.expressions().iterator()
             while eit.hasNext():
-                e = eit.next()
-                if not e.deterministic():
-                    offenders.append(e.sql())
+                walk_expr(eit.next())
             cit = node.children().iterator()
             while cit.hasNext():
                 walk(cit.next())
 
         walk(jplan)
-        plan_str = jplan.toString()
     except Exception:  # py4j surface changed — fall back to text scan
         plan_str = source._jdf.queryExecution().analyzed().toString()
-    offenders += [t for t in _SCAN_UNSTABLE_TOKENS if t in plan_str]
+        offenders += [t for t in _SCAN_UNSTABLE_TOKENS if t in plan_str]
     if offenders:
         raise ValueError(
             f"{op}: source plan is not scan-stable ({sorted(set(offenders))[:3]}); "

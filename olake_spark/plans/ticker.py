@@ -93,10 +93,13 @@ class StatsTicker:
             synced, to_sync, stage = self._synced, self._to_sync, self._stage
         elapsed = max(time.monotonic() - self._t0, 1e-9)
         speed = synced / elapsed
-        remaining = to_sync - synced
+        # maintenance stages bump synced without a planned total, so
+        # synced can legitimately pass to_sync — clamp instead of
+        # flipping the ETA back to "Not Determined" mid-run
+        remaining = max(to_sync - synced, 0)
         eta = (
             f"{remaining / speed:.2f} s"
-            if speed > 0 and remaining >= 0
+            if speed > 0 and to_sync > 0
             else "Not Determined"
         )
         # field names mirror logger.go:152-166

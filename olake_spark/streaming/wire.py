@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from olake_spark.functions.reformat import reformat_date, reformat_epoch
+from olake_spark.functions.reformat import reformat_date, reformat_epoch_auto
 from olake_spark.table.evolution import align_batch
 
 #: wal2json format-version-1 message model (pkg/waljs/types.go:41-57)
@@ -103,16 +103,18 @@ def _op_map_expr(mapping: dict[str, str]):
 
 
 def _wire_timestamp(col) -> "F.Column":
-    """Change-timestamp decode shared by both wire formats. The binlog
-    header carries EPOCH SECONDS rendered as a bare integer string (a
-    bare ``cast('timestamp')`` turns '1735689600' into NULL, silently
-    degrading merge dedup ordering to op-priority only); wal2json and
-    GTID producers emit formatted timestamps. Route integers through the
-    reference's int64 arm and everything else through the layout
-    cascade, like transforms._granularity_value does."""
-    return F.when(col.rlike(r"^-?[0-9]+$"), reformat_epoch(col)).otherwise(
-        reformat_date(col)
-    )
+    """Change-timestamp decode shared by all three wire formats. Bare
+    integer strings are epoch values whose UNIT varies by producer —
+    binlog header seconds, Mongo wallTime milliseconds, GTID
+    microseconds — so they route through the digit-count unit detector
+    (a bare ``cast('timestamp')`` turns '1735689600' into NULL, and the
+    seconds-only arm clamps a millisecond value to year 9999; either
+    way merge dedup ordering silently degrades to op-priority only).
+    Everything else goes through the layout cascade, like
+    transforms._granularity_value does."""
+    return F.when(
+        col.rlike(r"^-?[0-9]+$"), reformat_epoch_auto(col)
+    ).otherwise(reformat_date(col))
 
 
 def _pg_binary(col) -> "F.Column":

@@ -294,6 +294,33 @@ def test_check_rejects_bad_filter_grammar(spark, tmp_path):
     assert any("invalid filter format" in e for e in bad["errors"])
 
 
+def test_check_rejects_filter_on_non_source_op(spark, tmp_path):
+    """exec_stage applies filters only to source-consuming ops; a
+    filter on compact would run unfiltered — check must fail fast
+    rather than let the user believe rows were restricted."""
+    t = _mk(spark, tmp_path)
+    bad = cli.cmd_check(
+        {"table": t.location, "stages": [{"op": "compact", "filter": "a > 1"}]}
+    )
+    assert bad["status"] == "FAILED"
+    assert any("not supported on op 'compact'" in e for e in bad["errors"])
+
+
+def test_check_rejects_partition_regex_on_non_append(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    bad = cli.cmd_check(
+        {
+            "table": t.location,
+            "stages": [
+                {"op": "merge", "source_dir": "/tmp",
+                 "partition_regex": "/{codec,raw,}"},
+            ],
+        }
+    )
+    assert bad["status"] == "FAILED"
+    assert any("partition_regex is not supported" in e for e in bad["errors"])
+
+
 def test_sync_append_with_partition_template(spark, tmp_path):
     """An append stage with partition_regex lands rows in
     template-rendered partition directories and records the RAW
@@ -363,6 +390,32 @@ def test_sync_writes_live_stats_file(spark, tmp_path):
     assert stats["Speed"].endswith("rps")
 
 
+def test_sync_stats_eta_determined_with_source_stage(spark, tmp_path):
+    """Records To Sync is seeded from the source parquet footers
+    (driver-side metadata, no job), so the ETA is a live estimate —
+    not permanently 'Not Determined'."""
+    t = _mk(spark, tmp_path)
+    src_dir = str(tmp_path / "cdc")
+    batch = (
+        cdc_batch(spark, 60, 1, updates=6)
+        .withColumn("clip_id", F.concat(F.lit("w0_"), F.col("clip_id")))
+        .withColumn("_olake_id", F.md5(F.col("clip_id")))
+    )
+    batch.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+    n_src = batch.count()
+    out = cli.cmd_sync(
+        {
+            "table": t.location,
+            "job_id": "job-ETA",
+            "stages": [{"op": "cdc_merge", "source_dir": src_dir}],
+        }
+    )
+    with open(out["stats"]) as f:
+        stats = json.load(f)
+    assert stats["Records To Sync"] == n_src
+    assert stats["Estimated Remaining Time"].endswith(" s")
+
+
 def test_stats_ticker_updates_periodically(tmp_path):
     import time as _time
 
@@ -382,3 +435,17 @@ def test_stats_ticker_updates_periodically(tmp_path):
     assert second["Estimated Remaining Time"].endswith("s")
     final = json.load(open(p))
     assert final["Synced Records"] == 100
+
+
+def test_decode_hive_partition_sentinel_and_escapes():
+    """Spark writes an empty/NULL partition value as the
+    __HIVE_DEFAULT_PARTITION__ sentinel and URL-escapes specials; the
+    manifest must record the RAW rendered sub-path."""
+    from olake_spark.operators.ingest import decode_hive_partition
+
+    assert decode_hive_partition("__p0=2024/__p1=flac") == "2024/flac"
+    assert (
+        decode_hive_partition("__p0=a/__p1=__HIVE_DEFAULT_PARTITION__/__p2=b")
+        == "a//b"
+    )
+    assert decode_hive_partition("__p0=a%3Ab") == "a:b"

@@ -134,6 +134,23 @@ class TestIncrementalCluster:
         assert m["mode"] == "full"
         assert t.meta.properties[CURVE_PROP] == "zorder"
 
+    def test_key_version_mismatch_triggers_full(self, clustered_table):
+        """Manifest __curve_key bounds from a DIFFERENT key hash must
+        never be range-joined against newly computed keys — a version
+        mismatch (a table clustered by an older build) re-bootstraps
+        with a full pass and re-stamps the current version."""
+        from olake_spark.functions.zcurve import KEY_VERSION
+        from olake_spark.operators.clustering import VERSION_PROP
+
+        t = clustered_table
+        assert t.meta.properties[VERSION_PROP] == str(KEY_VERSION)
+        # simulate a table clustered by a build with a different hash
+        t.commit_replace(set(), [], operation="test-downgrade",
+                         properties={VERSION_PROP: "1"})
+        m = cluster_incremental(t, row_weight=PCM_W)
+        assert m["mode"] == "full"
+        assert t.meta.properties[VERSION_PROP] == str(KEY_VERSION)
+
     def test_read_amplification_metric(self, clustered_table):
         t = clustered_table
         entries = t.entries()

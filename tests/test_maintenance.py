@@ -62,6 +62,12 @@ class TestFFD:
 
 
 class TestCompaction:
+    def test_unknown_mode_rejected(self, spark, fragmented_table):
+        """A typo'd mode must raise, not silently select the copy path
+        (which would invalidate any copy-vs-spark A/B)."""
+        with pytest.raises(ValueError, match="compact mode"):
+            compact(fragmented_table, mode="Spark")
+
     def test_compact_reduces_files_preserves_content(self, spark, fragmented_table):
         t = fragmented_table
         before_files = len(t.entries())

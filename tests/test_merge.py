@@ -261,3 +261,16 @@ class TestScanStableContract:
         t = self._table(spark, tmp_path)
         m = merge_into(t, cdc_batch(spark, BASE_N, 1, updates=5, deletes=2))
         assert m["source_rows"] > 0
+
+    def test_clock_token_in_string_literal_accepted(self, spark, tmp_path):
+        """A string LITERAL spelling 'now()' (a filter value, a column
+        payload) must not trip the clock-expression detector — the
+        check inspects expression classes, not the plan's rendered
+        text (plans print literals unquoted, so a text scan would
+        false-positive and refuse a deterministic merge)."""
+        t = self._table(spark, tmp_path)
+        batch = cdc_batch(spark, BASE_N, 1, updates=5).withColumn(
+            "transcript", F.lit("now()")
+        ).filter(F.col("transcript") == "now()")
+        m = merge_into(t, batch)
+        assert m["source_rows"] > 0

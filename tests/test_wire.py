@@ -191,6 +191,39 @@ class TestWireTimestampAndBytea:
         assert r["_cdc_timestamp"] is not None
         assert r["_cdc_timestamp"].year == 2025 and r["_cdc_timestamp"].month == 1
 
+    def test_epoch_unit_detection(self, spark):
+        """Producers mix epoch units (binlog seconds, Mongo wallTime
+        millis, GTID micros). A millisecond value fed to the seconds
+        arm lands in year ~56938 and the clamp collapses it to 9999 —
+        every row the same _cdc_timestamp, dedup order destroyed. The
+        digit-count detector must decode all units to the same
+        instant."""
+        from olake_spark.functions.reformat import reformat_epoch_auto
+
+        sec = 1735689600  # 2025-01-01T00:00:00Z
+        df = spark.createDataFrame(
+            [(str(sec),), (str(sec * 1000),), (str(sec * 1000_000),),
+             (str(sec * 1000_000_000),)],
+            "v string",
+        ).select(reformat_epoch_auto("v").alias("ts"))
+        got = [r["ts"] for r in df.collect()]
+        assert all(t == got[0] for t in got)
+        assert got[0].year == 2025 and got[0].month == 1
+
+    def test_mongo_walltime_millis(self, spark):
+        """Mongo change streams carry wallTime in epoch milliseconds —
+        it must decode to the true instant, not a year-9999 clamp."""
+        from olake_spark.streaming.wire import decode_mongo_change_stream
+
+        raw = spark.createDataFrame(
+            [(_mongo_evt("insert", 1, full={"id": "7", "name": "m"},
+                         wall="1735689600123"),)],
+            "value string",
+        )
+        r = decode_mongo_change_stream(raw, TBL_SCHEMA).first()
+        assert r["_cdc_timestamp"].year == 2025
+        assert r["_cdc_timestamp"].microsecond == 123000
+
     def test_wal2json_bytea_hex_escape(self, spark):
         """Real wal2json renders bytea as hex-escape ('\\x0102...'), not
         base64 — both conventions must decode to the same bytes."""

@@ -32,14 +32,26 @@ def merge(paths: list[str]) -> dict:
     )
     lo, hi = cores[0], cores[-1]
 
+    def gather(c: int, key: str) -> dict[str, list[float]]:
+        return {
+            s: [
+                v
+                for r in runs
+                for v in r["runs"].get(f"local[{c}]", {}).get(key, {}).get(s, [])
+                if v
+            ]
+            for s in STAGES
+        }
+
+    # carry the unioned draw arrays in the output so a merged artifact
+    # can itself be merged again — evidence accumulates across sessions
+    hot = {c: gather(c, "all_sec") for c in (lo, hi)}
+    cold = {c: gather(c, "all_cold_sec") for c in (lo, hi)}
+
     def mins(c: int) -> dict[str, float]:
         out = {}
         for s in STAGES:
-            vals: list[float] = []
-            for r in runs:
-                rr = r["runs"].get(f"local[{c}]", {})
-                vals += [v for v in rr.get("all_sec", {}).get(s, []) if v]
-                vals += [v for v in rr.get("all_cold_sec", {}).get(s, []) if v]
+            vals = hot[c][s] + cold[c][s]
             if not vals:
                 raise SystemExit(f"no samples for {s} at {c} cores")
             out[s] = min(vals)
@@ -62,6 +74,8 @@ def merge(paths: list[str]) -> dict:
                 "maintenance_clips_per_sec": round(4 * n / s, 1),
                 "maintenance_sec": round(s, 3),
                 "stages_sec": {k: round(v, 3) for k, v in m.items()},
+                "all_sec": hot[c],
+                "all_cold_sec": cold[c],
             }
             for c, m, s in ((lo, m_lo, sum_lo), (hi, m_hi, sum_hi))
         },
