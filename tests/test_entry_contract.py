@@ -44,3 +44,32 @@ def test_rotation_window():
         "audio_segment_match",
     ):
         assert never_stamped in names[:50]
+
+
+def test_pack_token_budget_invariants(spark):
+    """Size-class packing guarantees: every pack's token sum fits the
+    budget, and within a class every pack except the last is full."""
+    from olake_spark.entry_queries import _PACK_BUDGET, QUERIES
+
+    rows = QUERIES["pack_token_budget"](spark, SF_DIR).collect()
+    assert rows
+    by_class: dict[int, list] = {}
+    for r in rows:
+        assert r["sum_tokens"] <= _PACK_BUDGET
+        # every doc in class c has < 2^c tokens
+        assert r["max_tokens"] < (1 << r["size_class"])
+        by_class.setdefault(r["size_class"], []).append(r)
+    for c, packs in by_class.items():
+        packs.sort(key=lambda r: r["pack_in_class"])
+        cap = max(_PACK_BUDGET // (1 << c), 1)
+        for p in packs[:-1]:
+            assert p["n_docs"] == cap  # only the tail pack may be short
+
+
+def test_decontaminate_flags_only_nonbenchmark(spark):
+    from olake_spark.entry_queries import QUERIES
+
+    rows = QUERIES["decontaminate"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["doc_id"] % 7 != 0
+        assert r["n_hit_grams"] >= 1

@@ -95,6 +95,18 @@ AUDITS = {
     "raw_layout": [
         ("JSON round trip JVM-side", "[codegen id :"),
     ],
+    "pack_token_budget": [
+        # one shuffle total: the per-class window rank; the pack
+        # aggregation reuses its partitioning
+        ("class rank is a window over one exchange", "Window"),
+        ("all integer math JVM-side", "!ArrowEvalPython"),
+        ("no python row path", "!BatchEvalPython"),
+    ],
+    "decontaminate": [
+        ("benchmark gram set broadcast", "BroadcastHashJoin"),
+        ("only gram hashes shuffle, never text", "md5(cast(array_join"),
+        ("no python row path", "!BatchEvalPython"),
+    ],
     "stream_filter": [
         # the parsed user-filter grammar must reach the parquet scan as
         # native pushed filters, not a post-scan Filter-only plan
