@@ -349,10 +349,14 @@ def cmd_sync(cfg: dict) -> dict:
     # are known up front only for sized ops; rows synced bump per
     # completed stage — commit granularity, the honest unit here.
     with StatsTicker(stats_path) as stats:
-        for s in cfg.get("stages", []):
+        for i, s in enumerate(cfg.get("stages", [])):
             # seed Records To Sync so the ETA estimate is live (the
-            # ticker reports 'Not Determined' until a total is known)
-            stats.add_records_to_sync(_source_footer_rows(s))
+            # ticker reports 'Not Determined' until a total is known);
+            # stages already completed in the lineage manifest will be
+            # skipped and bump 0 synced rows, so a resumed job must not
+            # count their planned rows either
+            if not lin.stage_complete(f"{i:02d}-{s['op']}"):
+                stats.add_records_to_sync(_source_footer_rows(s))
         for i, s in enumerate(cfg.get("stages", [])):
             op = s["op"]
             if op == "auto":

@@ -2293,7 +2293,8 @@ _PACK_SQL = f"""
            CAST(rk // cap AS INT) AS pack_in_class,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-           CAST(max(n_tokens) AS INT) AS max_tokens
+           CAST(max(n_tokens) AS INT) AS max_tokens,
+           max(n_tokens) > {_PACK_BUDGET} AS oversize
     FROM ranked
     GROUP BY size_class, rk // cap
 """
@@ -2310,10 +2311,14 @@ def pack_token_budget(spark, sf_dir):
     (class = bit-length of n_tokens, so every doc in class c has
     < 2^c tokens), each class gets a fixed per-pack capacity
     floor(budget / 2^c), and the pack id is rank-within-class div
-    capacity. Guarantees sum(pack) ≤ budget by construction, costs one
-    shuffle (the per-class window rank), parallelizes over classes ×
-    rank ranges, and loses at most 2× density vs perfect packing —
-    the standard scale trade. All integer math (bit-length via
+    capacity. Every pack of budget-fitting docs has sum ≤ budget by
+    construction; a doc that alone exceeds the budget cannot fit any
+    pack, so it lands in a SINGLETON pack flagged ``oversize`` (its
+    class capacity clamps to 1) for downstream split/truncate — the
+    invariant test asserts sum ≤ budget OR (n_docs = 1 AND oversize).
+    One shuffle (the per-class window rank), parallel over classes ×
+    rank ranges, at most 2× density loss vs perfect packing — the
+    standard scale trade. All integer math (bit-length via
     length(bin(n)), capacity via shiftleft) so Spark and the SQL
     oracle agree bit-for-bit — no float log2 edge cases."""
     d = _spread(_t(spark, sf_dir, "documents"))
@@ -2329,7 +2334,7 @@ def pack_token_budget(spark, sf_dir):
         "n_tokens",
         (F.row_number().over(w) - 1).alias("rk"),
         F.expr(
-            "greatest(CAST(256 / shiftleft(1, size_class) AS INT), 1)"
+            f"greatest(CAST({_PACK_BUDGET} / shiftleft(1, size_class) AS INT), 1)"
         ).alias("cap"),
     )
     return (
@@ -2347,6 +2352,7 @@ def pack_token_budget(spark, sf_dir):
             "n_docs",
             F.col("sum_tokens").cast("long").alias("sum_tokens"),
             F.col("max_tokens").cast("int").alias("max_tokens"),
+            (F.col("max_tokens") > _PACK_BUDGET).alias("oversize"),
         )
     )
 
@@ -2393,11 +2399,12 @@ def decontaminate(spark, sf_dir):
     DISTINCT gram md5s (one digest per gram, computed inside Catalyst
     ``transform`` — only 16-byte hashes ever shuffle, never text), the
     benchmark side reduces to a distinct-hash set that is tiny relative
-    to the corpus (broadcast in practice; degrades to a shuffled hash
-    join if the benchmark grows), and the join output is one row per
-    (doc, hit gram) — cost ∝ collisions, not corpus². Reports each
-    contaminated doc with its hit count; dropping them is the trivial
-    anti-join downstream."""
+    to the corpus (no forced hint: Catalyst/AQE broadcasts it under the
+    threshold and degrades to a shuffled hash join if the benchmark
+    grows past it), and the join output is one row per (doc, hit gram)
+    — cost ∝ collisions, not corpus². Reports each contaminated doc
+    with its hit count; dropping them is the trivial anti-join
+    downstream."""
     d = _spread(_t(spark, sf_dir, "documents"))
     grams = d.selectExpr(
         "doc_id", "split(trim(text), '\\\\s+') AS __t"
@@ -2405,7 +2412,7 @@ def decontaminate(spark, sf_dir):
     bench = grams.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
     return (
         grams.filter(F.col("doc_id") % 7 != 0)
-        .join(F.broadcast(bench), "g")
+        .join(bench, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
         .select(F.col("doc_id").cast("long").alias("doc_id"), "n_hit_grams")
@@ -2444,7 +2451,7 @@ ROTATED_OUT = [
 
 
 def ordered_queries() -> dict:
-    """QUERIES with ROTATED_OUT moved to the tail (positions 51-55) so
+    """QUERIES with ROTATED_OUT moved to the tail (positions 51+) so
     every other entry sits inside the driver's 50-entry window."""
     head = {k: v for k, v in QUERIES.items() if k not in ROTATED_OUT}
     tail = {k: QUERIES[k] for k in ROTATED_OUT if k in QUERIES}

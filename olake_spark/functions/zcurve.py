@@ -92,15 +92,18 @@ def _scale_to_bits(v: np.ndarray, lo: float, hi: float, bits: int) -> np.ndarray
     return np.minimum((g * (2**bits)).astype(np.int64), (1 << bits) - 1)
 
 
-# Version of the curve KEY COMPUTATION itself. Bump whenever the key
-# function changes in a way that makes previously persisted
-# __curve_key values/bounds incomparable with newly computed ones —
-# incremental clustering (operators/incremental_cluster.py) range-joins
-# new keys against manifest bounds from past runs, so mixing key spaces
-# silently breaks its overlap detection. v2: the zorder id lane moved
-# from a Python murmur3(seed 0) over the raw string to Spark's JVM
-# F.hash (murmur3 seed 42) — same curve, different hash values.
-KEY_VERSION = 2
+# Version of each curve's KEY COMPUTATION. Bump a curve's entry
+# whenever its key function changes in a way that makes previously
+# persisted __curve_key values/bounds incomparable with newly computed
+# ones — incremental clustering (operators/incremental_cluster.py)
+# range-joins new keys against manifest bounds from past runs, so
+# mixing key spaces silently breaks its overlap detection. PER-CURVE
+# so a change to one curve never forces a full re-bootstrap of tables
+# clustered by the other. zorder v2: the id lane moved from a Python
+# murmur3(seed 0) over the raw string to Spark's JVM F.hash (murmur3
+# seed 42) — same curve, different hash values. hilbert keys are
+# unchanged since v1.
+KEY_VERSIONS = {"zorder": 2, "hilbert": 1}
 
 
 def zorder_key_udf(dur_lo: int, dur_hi: int, sr_lo: int, sr_hi: int):

@@ -37,7 +37,7 @@ from pyspark.sql.functions import pandas_udf
 
 from olake_spark.functions.hashing import mmh3_32_bytes
 from olake_spark.functions.zcurve import (
-    KEY_VERSION,
+    KEY_VERSIONS,
     hilbert_key_udf,
     zorder_key_cols,
     zorder_key_udf,
@@ -52,7 +52,7 @@ RANGE_COL = "__olake_range"
 #: normalization window its keys were computed under
 CURVE_PROP = "cluster.curve"
 BOUNDS_PROP = "cluster.bounds"
-#: which KEY_VERSION the persisted __curve_key stats were computed
+#: which KEY_VERSIONS[curve] the persisted __curve_key stats were computed
 #: with — a mismatch means old manifests carry keys from a different
 #: hash and incremental upkeep must re-bootstrap with a full pass
 VERSION_PROP = "cluster.key_version"
@@ -222,7 +222,7 @@ def cluster(
         properties={
             CURVE_PROP: curve,
             BOUNDS_PROP: json.dumps(b),
-            VERSION_PROP: str(KEY_VERSION),
+            VERSION_PROP: str(KEY_VERSIONS[curve]),
         },
     )
     sizes = sorted(e.file_size_bytes for e in new_entries)

@@ -50,7 +50,7 @@ import math
 from pyspark.sql import functions as F
 
 from olake_spark.functions.zcurve import (
-    KEY_VERSION,
+    KEY_VERSIONS,
     hilbert_key_udf,
     zorder_key_cols,
     zorder_key_udf,
@@ -150,16 +150,20 @@ def cluster_incremental(
     state_version = table.meta.properties.get(VERSION_PROP)
     if state_curve is None or state_bounds is None or (
         curve is not None and curve != state_curve
-    ) or state_version != str(KEY_VERSION):
+    ) or (
+        state_curve is not None
+        and state_version != str(KEY_VERSIONS.get(state_curve, -1))
+    ):
         # a KEY_VERSION mismatch means the persisted __curve_key bounds
         # were computed with a different hash than this build produces —
         # range-joining new keys against them would silently mis-detect
-        # overlap, so re-bootstrap instead of comparing key spaces
+        # overlap, so re-bootstrap instead of comparing key spaces.
         # bootstrap (or curve change): one full clustering records the
-        # curve state this operator maintains from then on
+        # curve state this operator maintains from then on; a version
+        # re-bootstrap keeps the table's recorded curve
         m = cluster(
             table,
-            curve=curve or "zorder",
+            curve=curve or state_curve or "zorder",
             target_size=target_size,
             skew_cap=skew_cap,
             sample_rows=sample_rows,

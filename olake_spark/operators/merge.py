@@ -77,15 +77,28 @@ def _assert_scan_stable(source: DataFrame, op: str) -> None:
         jplan = source._jdf.queryExecution().analyzed()
 
         def walk_expr(e):
+            if offenders:
+                return  # one offender is enough — stop the py4j walk
+            cls = e.getClass().getSimpleName()
             # clock expressions are Catalyst-"deterministic" (folded once
             # per query) but differ between the merge's two actions;
             # detect by class so a string LITERAL like 'now()' in data
             # or a filter value is never a false positive
-            if e.getClass().getSimpleName() in clock_classes:
+            if cls in clock_classes:
                 offenders.append(e.sql())
+                return
             if not e.deterministic():
                 offenders.append(e.sql())
                 return  # children are covered by the recursive flag
+            # subquery expressions carry a whole child PLAN that is not
+            # reachable through children() — a clock inside
+            # `ts >= (SELECT current_timestamp() - ...)` lives there
+            if "Subquery" in cls or cls in ("ListQuery", "Exists", "InSubquery"):
+                try:
+                    walk(e.plan())
+                except Exception:
+                    offenders.append(cls)  # can't inspect → refuse loudly
+                return
             it = e.children().iterator()
             while it.hasNext():
                 walk_expr(it.next())

@@ -139,17 +139,17 @@ class TestIncrementalCluster:
         never be range-joined against newly computed keys — a version
         mismatch (a table clustered by an older build) re-bootstraps
         with a full pass and re-stamps the current version."""
-        from olake_spark.functions.zcurve import KEY_VERSION
+        from olake_spark.functions.zcurve import KEY_VERSIONS
         from olake_spark.operators.clustering import VERSION_PROP
 
         t = clustered_table
-        assert t.meta.properties[VERSION_PROP] == str(KEY_VERSION)
+        assert t.meta.properties[VERSION_PROP] == str(KEY_VERSIONS["hilbert"])
         # simulate a table clustered by a build with a different hash
         t.commit_replace(set(), [], operation="test-downgrade",
-                         properties={VERSION_PROP: "1"})
+                         properties={VERSION_PROP: "0"})
         m = cluster_incremental(t, row_weight=PCM_W)
         assert m["mode"] == "full"
-        assert t.meta.properties[VERSION_PROP] == str(KEY_VERSION)
+        assert t.meta.properties[VERSION_PROP] == str(KEY_VERSIONS["hilbert"])
 
     def test_read_amplification_metric(self, clustered_table):
         t = clustered_table

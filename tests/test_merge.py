@@ -262,6 +262,21 @@ class TestScanStableContract:
         m = merge_into(t, cdc_batch(spark, BASE_N, 1, updates=5, deletes=2))
         assert m["source_rows"] > 0
 
+    def test_clock_inside_subquery_refused(self, spark, tmp_path):
+        """A clock expression hidden in a SUBQUERY plan (hangs off the
+        expression, not the node's children) must still be detected —
+        `ts >= (SELECT current_timestamp() - ...)` folds a different
+        value on each of the merge's two actions."""
+        t = self._table(spark, tmp_path)
+        batch = cdc_batch(spark, BASE_N, 1, updates=5)
+        batch.createOrReplaceTempView("__ss_batch")
+        tainted = spark.sql(
+            "SELECT * FROM __ss_batch WHERE _cdc_timestamp <= "
+            "(SELECT current_timestamp())"
+        )
+        with pytest.raises(ValueError, match="scan-stable"):
+            merge_into(t, tainted)
+
     def test_clock_token_in_string_literal_accepted(self, spark, tmp_path):
         """A string LITERAL spelling 'now()' (a filter value, a column
         payload) must not trip the clock-expression detector — the
