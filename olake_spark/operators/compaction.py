@@ -27,9 +27,26 @@ from olake_spark.plans.ffd import Bin, first_fit_decreasing
 from olake_spark.plans.lineage import LineageManifest
 from olake_spark.table.format import DataFileEntry
 from olake_spark.table.stats import file_entry
-from olake_spark.table.table import Table
+from olake_spark.table.table import CommitConflict, Table
 
 FANOUT_COL = "__olake_bin"
+
+#: full fold→plan→rewrite→commit retries per wave on a commit-time
+#: conflict (concurrent replace of an input file, or a delete file
+#: landing after the wave's fold)
+WAVE_RETRIES = 3
+
+
+def _refuse_live_deletes(t: Table) -> None:
+    """commit_replace validation hook: the wave's outputs were built
+    against a delete-free scan, so ANY live equality-delete file at
+    commit time means a concurrent MoR writer landed after the wave's
+    fold — committing would silently resurrect its deleted rows (the
+    row-count guard cannot see equality deletes). Conflict → the wave
+    re-folds and re-runs. A commit racing past this check instead
+    loses the O_EXCL version write and re-validates after refresh."""
+    if t.delete_entries():
+        raise CommitConflict("delete files committed during compaction wave")
 
 #: coalesce copied row groups to about this much (uncompressed) before
 #: flushing — compaction inputs are SMALL files (often one tiny row
@@ -346,26 +363,45 @@ def compact(
         # normally guarantees delete-free input, but its lineage stamp
         # cannot be trusted against deletes that landed AFTER it (a
         # resumed run racing a concurrent MoR writer) — so fold
-        # unconditionally at wave time. Bins whose files the fold
-        # rewrote fall out via the live-path revalidation below.
-        if table.delete_entries():
-            from olake_spark.operators.merge import fold_deletes
+        # unconditionally at wave time, AND re-assert delete-free-ness
+        # inside commit_replace's validation (a delete committed between
+        # this fold and the commit would otherwise be resurrected
+        # invisibly: the row-count guard can't see equality deletes).
+        # On CommitConflict the whole wave retries: fresh fold, fresh
+        # live-path plan, fresh rewrite.
+        wv_live: list[Bin] = []
+        snap = None
+        removed: list[str] = []
+        new_entries: list[DataFileEntry] = []
+        for wave_attempt in range(WAVE_RETRIES + 1):
+            if table.delete_entries():
+                from olake_spark.operators.merge import fold_deletes
 
-            fold_deletes(table, target_file_size=target_size)
-        # a resumed wave may reference files replaced by its own earlier,
-        # half-committed attempt — revalidate against live paths
-        entry_by_path = {e.path: e for e in table.entries()}
-        wv_live = [b for b in wv if all(p in entry_by_path for p, _ in b.items)]
+                fold_deletes(table, target_file_size=target_size)
+            # a resumed wave may reference files replaced by its own
+            # earlier, half-committed attempt (or by the fold above) —
+            # revalidate against live paths
+            entry_by_path = {e.path: e for e in table.entries()}
+            wv_live = [b for b in wv if all(p in entry_by_path for p, _ in b.items)]
+            if not wv_live:
+                break
+            rewrite = _rewrite_bins if mode == "spark" else _copy_bins
+            removed, new_entries = rewrite(table, wv_live, entry_by_path)
+            try:
+                snap = table.commit_replace(
+                    set(removed), new_entries, operation="compact",
+                    summary={"bins": len(wv_live)},
+                    validate_extra=_refuse_live_deletes,
+                )
+                break
+            except CommitConflict:
+                table.refresh()
+                if wave_attempt == WAVE_RETRIES:
+                    raise
         if not wv_live:
             if lineage is not None:
                 lineage.mark_done(stage, unit, snapshot_id=table.meta.current_snapshot_id)
             continue
-        rewrite = _rewrite_bins if mode == "spark" else _copy_bins
-        removed, new_entries = rewrite(table, wv_live, entry_by_path)
-        snap = table.commit_replace(
-            set(removed), new_entries, operation="compact",
-            summary={"bins": len(wv_live)},
-        )
         total_in += len(removed)
         total_out += len(new_entries)
         if lineage is not None:

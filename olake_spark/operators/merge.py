@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from olake_spark.plans.lineage import LineageManifest
-from olake_spark.table.table import Table
+from olake_spark.table.table import CommitConflict, Table
 
 # op priority for tie-breaks: INSERT < READ < UPDATE < DELETE
 OP_PRIORITY = {"c": 0, "r": 1, "u": 2, "d": 3}
@@ -506,9 +506,37 @@ def fold_deletes(
 
     Reference parity: Iceberg's rewrite-data-files maintenance that the
     MoR write path relies on; the reference schedules it out-of-band.
+
+    Concurrency: the rewrite gives surviving rows a NEW sequence number,
+    so a delete file committed by a concurrent MoR writer mid-fold would
+    be silently out-sequenced for any key living in a rewritten file
+    (sequence-strict anti-join → resurrection). The replace commit
+    therefore validates that every live delete file at commit time is
+    one this fold consumed; a newer one raises CommitConflict and the
+    whole fold retries against refreshed metadata.
     """
     if lineage is not None and lineage.stage_complete(stage):
         return {"skipped": True, "snapshot_id": lineage.stage_snapshot(stage)}
+    last_err: Exception | None = None
+    for _attempt in range(FOLD_RETRIES + 1):
+        try:
+            return _fold_deletes_once(table, target_file_size, lineage, stage)
+        except CommitConflict as e:
+            last_err = e
+            table.refresh()
+    raise last_err  # type: ignore[misc]
+
+
+#: full re-derive→rewrite→commit retries on a mid-fold delete commit
+FOLD_RETRIES = 3
+
+
+def _fold_deletes_once(
+    table: Table,
+    target_file_size: int | None,
+    lineage: LineageManifest | None,
+    stage: str,
+) -> dict:
     dels = table.delete_entries()
     if not dels:
         return {"skipped": True, "delete_files": 0}
@@ -575,11 +603,21 @@ def fold_deletes(
             max_records_per_file=roll_rows,
             shuffle=False,
         )
+    consumed = {e.path for e in dels}
+
+    def _no_newer_deletes(t: Table) -> None:
+        newer = {d.path for d in t.delete_entries()} - consumed
+        if newer:
+            raise CommitConflict(
+                f"delete files committed mid-fold: {sorted(newer)[:5]}"
+            )
+
     snap = table.commit_replace(
-        set(affected) | {e.path for e in dels},
+        set(affected) | consumed,
         new_entries,
         operation="fold-deletes",
         summary={"folded-delete-files": len(dels), "rewritten-files": len(affected)},
+        validate_extra=_no_newer_deletes,
     )
     metrics = {
         "snapshot_id": snap.snapshot_id,

@@ -79,19 +79,24 @@ def parse_filter(text: str | None) -> Filter:
     return Filter(conditions=conds, logical_operator=logical)
 
 
+#: the grammar's OWN numeric value shapes (FILTER_RE alternatives 2-4).
+#: Python int()/float() are looser than the reference's strconv parse —
+#: they accept underscore separators ('1_000' → 1000) where the
+#: reference falls through to the string literal '1_000' — so numeric
+#: conversion is gated on these shapes, never on "int() didn't raise".
+_INT_SHAPE = re.compile(r"-?\d+")
+_FLOAT_SHAPE = re.compile(r"-?\d+\.\d+|\.\d+")
+
+
 def _value_literal(raw: str) -> Column:
     if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
         return F.lit(raw[1:-1])
     if raw.lower() in ("true", "false"):
         return F.lit(raw.lower() == "true")
-    try:
+    if _INT_SHAPE.fullmatch(raw):
         return F.lit(int(raw))
-    except ValueError:
-        pass
-    try:
+    if _FLOAT_SHAPE.fullmatch(raw):
         return F.lit(float(raw))
-    except ValueError:
-        pass
     return F.lit(raw)
 
 

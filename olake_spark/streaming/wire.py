@@ -332,12 +332,13 @@ def mongo_next_resume_token(raw: DataFrame, value_col: str = "value") -> str | N
     cursor to persist after the batch commits (PostCDC, cdc.go:178-189:
     the token is check-pointed only on a clean batch). JVM-side: the
     opTime lives at fixed hex offsets (1 type byte + two BE uint32s →
-    hex chars 3-10 and 11-18), so the ordering key is pure ``conv``
-    math — no Python in the path. Tiny agg, one row back."""
+    hex chars 3-18); fixed-width hex ORDERS the same as the numeric
+    value, so the key is the lowercased 16-char substring itself —
+    no ``conv`` math, which overflowed int64 for T ≥ 2^31 (post-2038
+    tokens: ANSI mode throws, non-ANSI wraps negative and max_by
+    checkpoints an OLDER token). Tiny agg, one row back."""
     tok = F.col("__c._id._data")
-    key = F.conv(F.substring(tok, 3, 8), 16, 10).cast("long") * F.lit(1 << 32) + F.conv(
-        F.substring(tok, 11, 8), 16, 10
-    ).cast("long")
+    key = F.lower(F.substring(tok, 3, 16))
     r = (
         raw.select(
             F.from_json(F.col(value_col).cast("string"), MONGO_CHANGE_SCHEMA).alias("__c")

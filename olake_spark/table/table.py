@@ -624,6 +624,7 @@ class Table:
         summary: dict | None = None,
         schema_json: str | None = None,
         properties: dict | None = None,
+        validate_extra=None,
     ) -> Snapshot:
         """Atomic swap: removed data files out, new files in.
 
@@ -633,7 +634,13 @@ class Table:
         Validation: every removed path must still be live (a concurrent
         replace of the same file is a real conflict → error, mirroring
         the reference's LSN-mismatch full-stop guard,
-        drivers/postgres/internal/cdc.go:75-79).
+        drivers/postgres/internal/cdc.go:75-79). ``validate_extra(t)``
+        lets the caller add commit-time invariants that run on every
+        attempt against refreshed metadata (e.g. compaction refusing
+        delete files that landed after its fold); raise CommitConflict
+        to reject. A concurrent commit landing between validation and
+        the version write makes the write LOSE (O_EXCL versioning), so
+        the re-validation after refresh sees it — no unchecked window.
         """
 
         def validate(t: "Table") -> None:
@@ -641,6 +648,8 @@ class Table:
             missing = removed_paths - live
             if missing:
                 raise CommitConflict(f"files no longer live: {sorted(missing)[:5]}")
+            if validate_extra is not None:
+                validate_extra(t)
 
         def build(t: "Table") -> Snapshot:
             seq = t.meta.last_sequence_number + 1

@@ -79,3 +79,99 @@ def test_ffd_planner_scales_to_200k_files():
     assert packed >= 199_000  # nearly all files packed (>=2 per bin)
     for b in bins[:100]:
         assert b.size <= b.capacity
+
+
+# ---------------------------------------------------------------- mid-run
+# delete races: a concurrent MoR writer commits an equality delete AFTER
+# a maintenance op froze its input view but BEFORE its replace commit.
+# Without commit-time delete validation the copy/rewrite paths would
+# silently resurrect the deleted rows (the delete gets out-sequenced).
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from olake_spark.fixtures.audio_clips import cdc_batch  # noqa: E402
+from olake_spark.operators import compaction as compaction_mod  # noqa: E402
+from olake_spark.operators import merge as merge_mod  # noqa: E402
+from olake_spark.operators.compaction import compact  # noqa: E402
+from olake_spark.operators.merge import fold_deletes, merge_mor  # noqa: E402
+
+RACE_N = 120
+
+
+def _race_table(spark, path):
+    t = Table.create(
+        spark, path, "audio_clips", FULL_SCHEMA, identifier_fields=["_olake_id"]
+    )
+    # fragmented appends -> several small files, all compaction-eligible
+    for w in range(2):
+        df = generate_clips(spark, RACE_N // 2, partitions=3)
+        if w:  # second wave gets distinct keys
+            df = df.withColumn(
+                "clip_id", F.concat(F.lit("x_"), F.col("clip_id"))
+            ).withColumn("_olake_id", F.md5(F.col("clip_id")))
+        t.commit_append(t.write_datafiles(df, range_partition_cols=["_olake_id"], num_groups=3))
+    return t
+
+
+def _content(t):
+    return {
+        r["_olake_id"]: (r["transcript"], r["_op_type"])
+        for r in t.scan().select("_olake_id", "transcript", "_op_type").collect()
+    }
+
+
+def test_compaction_mid_wave_delete_race(spark, tmp_path, monkeypatch):
+    raced = _race_table(spark, str(tmp_path / "raced"))
+    control = _race_table(spark, str(tmp_path / "control"))
+    batch = cdc_batch(spark, RACE_N // 2, 1, updates=4, deletes=4, inserts=2)
+
+    # control: the same delete batch lands cleanly before maintenance
+    merge_mor(control, batch)
+    fold_deletes(control)
+    compact(control)
+
+    real_copy = compaction_mod._copy_bins
+    fired = {"n": 0}
+
+    def inject_then_copy(table, bins, entry_by_path):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a concurrent writer (fresh Table instance = fresh metadata
+            # view) commits an equality delete mid-wave
+            merge_mor(Table.load(spark, raced.location), batch)
+        return real_copy(table, bins, entry_by_path)
+
+    monkeypatch.setattr(compaction_mod, "_copy_bins", inject_then_copy)
+    compact(raced)
+
+    assert fired["n"] == 1
+    assert raced.delete_entries() == []  # retry folded the racing delete
+    assert _content(raced) == _content(control)
+
+
+def test_fold_mid_fold_delete_race(spark, tmp_path, monkeypatch):
+    raced = _race_table(spark, str(tmp_path / "raced"))
+    control = _race_table(spark, str(tmp_path / "control"))
+    b1 = cdc_batch(spark, RACE_N // 2, 1, updates=3, deletes=3, inserts=1)
+    b2 = cdc_batch(spark, RACE_N // 2, 2, updates=3, deletes=3, inserts=1)
+
+    merge_mor(control, b1)
+    merge_mor(control, b2)
+    fold_deletes(control)
+
+    merge_mor(raced, b1)
+    real_affected = merge_mod.affected_file_paths
+    fired = {"n": 0}
+
+    def inject_then_plan(table, source_keys, key):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            merge_mor(Table.load(spark, raced.location), b2)
+        return real_affected(table, source_keys, key)
+
+    monkeypatch.setattr(merge_mod, "affected_file_paths", inject_then_plan)
+    fold_deletes(raced)
+
+    assert fired["n"] == 1
+    assert raced.delete_entries() == []  # retry folded BOTH batches
+    assert _content(raced) == _content(control)

@@ -124,6 +124,24 @@ class TestCatalystSemantics:
     def test_bare_word_is_string_literal(self, spark):
         assert self._rows(spark, "status = active") == [1]
 
+    def test_underscored_digits_are_string_not_numeric(self, spark):
+        """'1_000' matches the grammar's \\w+ arm; the reference's
+        strconv parse rejects underscores so it compares as the STRING
+        '1_000' — Python's looser int() must not turn it into 1000."""
+        from olake_spark.plans.filters import _value_literal
+
+        df = spark.createDataFrame([("1_000",), ("1000",)], "v string")
+        got = sorted(
+            r["v"] for r in apply_stream_filter(df, "v = 1_000").collect()
+        )
+        assert got == ["1_000"]
+        # scientific notation is a bare WORD under the grammar → string
+        # literal (comparing it to an int column is a loud ANSI cast
+        # error, same as the reference splicing age='1e5' into SQL)
+        assert self._rows(spark, "status = 1e5") == []
+        assert df.filter(_value_literal("25") == 25).count() == 2
+        assert df.filter(_value_literal(".5") == 0.5).count() == 2
+
     def test_pushdown_reaches_scan(self, spark, tmp_path):
         """The applied filter must land in the parquet scan's
         PushedFilters — the whole point of F2."""

@@ -327,6 +327,24 @@ class TestMongoChangeStream:
         assert mongo_stream_caught_up(best, (1767000008, 5))
         assert not mongo_stream_caught_up(best, (1767000010, 0))
 
+    def test_resume_token_post_2038(self, spark):
+        """T ≥ 2^31 overflowed the old conv()-based int64 ordering key
+        (ANSI throw / silent wrap to an OLDER token); the lexicographic
+        fixed-width-hex key cannot. Mixed-era tokens order correctly."""
+        from olake_spark.streaming.wire import (
+            mongo_next_resume_token,
+            mongo_resume_token_op_time,
+        )
+
+        msgs = [
+            _mongo_evt("insert", 0, full={"id": "1"}, t=2**31 + 7, i=3),
+            _mongo_evt("insert", 0, full={"id": "2"}, t=2**31 - 1, i=9),
+            _mongo_evt("insert", 0, full={"id": "3"}, t=2**32 - 1, i=4),
+        ]
+        raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+        best = mongo_next_resume_token(raw)
+        assert mongo_resume_token_op_time(best) == (2**32 - 1, 4)
+
     def test_resume_token_invalid(self):
         from olake_spark.streaming.wire import mongo_resume_token_op_time
 
