@@ -1010,6 +1010,63 @@ def lsh_bucket_join(spark, sf_dir):
     return pairs.distinct()
 
 
+# Transitive closure of the LSH candidate pairs: the DuckDB oracle walks
+# the SAME pair set with a recursive reachability CTE (exact connected
+# components — identical to the Spark fixed point by the component-min
+# argument in operators/dedup_cluster.py), so no iteration-count
+# unrolling is needed. The sigs/bands/pair CTEs are FLATTENED to the top
+# level: DuckDB's WITH RECURSIVE rejects a multi-CTE nested WITH inside
+# a sibling CTE.
+_DEDUP_CLUSTERS_SQL = (
+    f"WITH RECURSIVE sigs AS ({_MINHASH_SQL}), bands AS (SELECT doc_id, "
+    + ", ".join(
+        f"{e} AS {c}"
+        for e, c in zip(_mh_band_exprs(lambda cols: " || ".join(cols)), _MH_BAND_COLS)
+    )
+    + " FROM sigs), "
+    + ", ".join(
+        f"p{i} AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b ON a.{c} = b.{c} AND a.doc_id < b.doc_id)"
+        for i, c in enumerate(_MH_BAND_COLS)
+    )
+    + ", pairs AS ("
+    + " UNION ".join(f"SELECT doc_a, doc_b FROM p{i}" for i in range(_MH_BANDS))
+    + """),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id,
+           MIN(lbl) AS cluster_id,
+           CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INTEGER)
+               AS is_canonical
+    FROM reach GROUP BY id
+"""
+)
+
+
+@_register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution — the step after candidate pairs: a
+    corpus dedup must collapse transitive chains (A~B, B~C ⇒ one
+    cluster) and keep one canonical survivor. Connected components by
+    iterative min-label propagation + pointer jumping over the
+    ``lsh_bucket_join`` pair set (operators/dedup_cluster.py): all
+    equi-joins, O(log n) rounds to a verified fixed point. Emits one
+    row per document: (doc_id, cluster_id, is_canonical)."""
+    from olake_spark.operators.dedup_cluster import min_label_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = lsh_bucket_join(spark, sf_dir).localCheckpoint(eager=False)
+    return min_label_clusters(docs, pairs)
+
+
 _JACCARD_SQL = """
     WITH grams AS (
         SELECT doc_id, source, n_chars,
@@ -2432,21 +2489,25 @@ def decontaminate(spark, sf_dir):
 # (stream_filter, raw_layout, pack_token_budget, decontaminate) sit
 # inside the window, and 8 entries that have been hash-green since
 # round 1 and are semantically covered by neighbors rotate out.
-# Round 5 rotates ROTATED_OUT back in for a full sweep. COVERAGE.md
-# documents the schedule; test_entry_contract asserts the tail is
-# exactly ROTATED_OUT.
+# Round-5 rotation (COVERAGE.md schedule): the eight entries demoted in
+# round 4 are promoted back into the driver's 50-entry window, giving
+# every registered query a driver stamp on round-current code across
+# r3-r5. The nine demotions below were ALL hash-green in the round-4
+# driver run (and in earlier rounds); regardless of window position,
+# tests/test_entry_contract.py::test_all_oracles_match re-runs EVERY
+# oracle (including these) in CI, so rotation never reduces actual
+# verification — only which subset gets a driver-file stamp.
 
 ROTATED_OUT = [
-    "topk_boundary",  # covered by windowed_agg + chunked_scan LIMIT path
-    "set_except",  # covered by merge_upsert's anti-join leg
-    "max_cursor",  # covered by incremental_cursor + minmax_bounds
-    "token_count",  # covered by quality_score (same tokenizer)
-    "fingerprint",  # covered by exact_dedup + simhash (same digest path)
-    "partition_path",  # covered by partition_template (same renderer family)
-    # round-4 additions pack_token_budget + decontaminate take their
-    # window slots; both demotions hash-green since round 1:
-    "truncate_transform",  # covered by time_transforms + partition_template
-    "minmax_bounds",  # covered by chunked_scan bounds + stats harvest tests
+    "filter_pushdown",  # r1-r4 green; grammar also driver-gated via stream_filter
+    "pk_hash",  # r1-r4 green; hash path also exercised by metadata_attach
+    "json_flatten",  # r1-r4 green; raw_layout exercises the same JSON path
+    "date_reformat",  # r1-r4 green; cascade also feeds time_transforms
+    "time_transforms",  # r1-r4 green; granularities also in partition_template
+    "dedup_latest",  # r1-r4 green; same window dedup runs inside merge_upsert
+    "windowed_agg",  # r1-r4 green
+    "bucket_transform",  # r1-r4 green; murmur3 also pytest spec-vector gated
+    "geo_wkt",  # r1-r4 green; WKB reader also pytest spec-vector gated
 ]
 
 

@@ -1,0 +1,117 @@
+"""Near-dup cluster resolution: connected components over candidate pairs.
+
+The LSH family (entry_queries: ``lsh_bucket_join``, ``ngram_jaccard``,
+``audio_fingerprint_dedup``) stops at candidate PAIRS; deduplicating a
+corpus needs the transitive closure — one cluster id per document and
+one canonical survivor per cluster (A~B and B~C must collapse into one
+group even when A~C was never emitted as a pair). This operator closes
+that gap: iterative min-label propagation with pointer jumping, all
+equi-joins, run to a verified fixed point.
+
+No reference analog (it is an LLM-pipeline op per the brief); the
+algorithm is the standard label-propagation connected components used
+by GraphFrames/GraphX, re-expressed as DataFrame joins.
+
+Scale notes (100 TB discipline):
+- every step is an equi-join or groupBy on ids — shuffle ∝ |V| + |E|
+  per round, never a cartesian;
+- labels only ever DECREASE and are bounded below by the component
+  minimum, so the fixed point is the exact component-min labeling —
+  deterministic regardless of execution order (oracle-safe);
+- plain neighbor-min converges in O(diameter) rounds; the pointer-jump
+  step (label := label-of-label) roughly halves remaining label-chain
+  depth each round, giving the O(log n) bound long chains need;
+- per-round ``localCheckpoint`` truncates the join lineage — without
+  it the plan doubles every iteration and the driver OOMs on planning
+  long before the data is big;
+- convergence is detected with an early-exit ``isEmpty`` probe on the
+  changed-rows filter, not a full count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: backstop for pathological inputs; with pointer jumping real corpora
+#: converge in ~log2(max component size) rounds
+MAX_ROUNDS = 50
+
+
+def min_label_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """(vertices, candidate pairs) → ``(doc_id, cluster_id, is_canonical)``.
+
+    ``cluster_id`` is the MINIMUM vertex id reachable through the pair
+    graph (singletons cluster with themselves); ``is_canonical`` is 1
+    for the survivor row (``doc_id == cluster_id``), so the keep-one
+    dedup is a trivial ``filter`` and the drop set an anti-join.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # 1) neighbor min: each vertex adopts the smallest label in its
+        #    closed neighborhood (shuffle keyed on ids — equi-joins only)
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        # 2) pointer jump: lbl := min(lbl, lbl[lbl]) — path compression
+        #    that collapses label chains logarithmically
+        x, y = stepped.alias("x"), stepped.alias("y")
+        jumped = x.join(y, F.col("x.lbl") == F.col("y.id"), "left").select(
+            F.col("x.id").alias("id"),
+            F.least(
+                F.col("x.lbl"), F.coalesce(F.col("y.lbl"), F.col("x.lbl"))
+            ).alias("lbl"),
+        ).localCheckpoint(eager=True)
+
+        old = labels.select(F.col("id"), F.col("lbl").alias("old"))
+        converged = (
+            jumped.join(old, "id").filter(F.col("lbl") < F.col("old")).isEmpty()
+        )
+        labels = jumped
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"min_label_clusters: no fixed point within {max_rounds} rounds"
+        )
+
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).cast("int").alias("is_canonical"),
+    )
+
+
+def dedup_survivors(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly the canonical row of each cluster: join the cluster
+    map (inner, on the id) and filter — one shuffle keyed on the id,
+    broadcastable when the cluster map is small."""
+    keep = clusters.filter(F.col("is_canonical") == 1).select(id_col)
+    return df.join(keep, id_col, "inner")

@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("OLAKE_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # no \r progress frames on the console: a frame emitted just
+        # before a result line leaves residue on it, and the driver
+        # machine-parses bench's final stdout line (BENCH_r04 lesson)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     if standalone and not under_submit:

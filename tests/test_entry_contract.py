@@ -29,21 +29,25 @@ def test_rotation_window():
     """The driver stamps only the first 50 queries() entries. Guard the
     rotation contract: every entry beyond position 50 must be explicitly
     listed in ROTATED_OUT (no query silently exits verification), and
-    the five entries the driver has never stamped (round-3 tail) must
-    sit inside the window this round."""
+    the eight entries rotated out in round 4 — whose promotion completes
+    the full 58-query driver sweep — must sit inside the window this
+    round, as must any query the driver has never stamped."""
     import __spark_entry__ as e
     from olake_spark.entry_queries import ROTATED_OUT
 
     names = list(e.queries())
     assert set(names[50:]) == set(ROTATED_OUT)
-    for never_stamped in (
-        "changelog_scan",
-        "audio_segments",
-        "ivf_train",
-        "stratified_sample",
-        "audio_segment_match",
+    for promoted in (
+        "topk_boundary",
+        "set_except",
+        "max_cursor",
+        "token_count",
+        "fingerprint",
+        "partition_path",
+        "truncate_transform",
+        "minmax_bounds",
     ):
-        assert never_stamped in names[:50]
+        assert promoted in names[:50]
 
 
 def test_pack_token_budget_invariants(spark):
@@ -78,3 +82,38 @@ def test_decontaminate_flags_only_nonbenchmark(spark):
     for r in rows:
         assert r["doc_id"] % 7 != 0
         assert r["n_hit_grams"] >= 1
+
+
+def test_bench_contract_line_fits_driver_tail():
+    """The driver keeps a bounded (~2000-char) stdout tail and parses
+    bench's FINAL line; BENCH_r04's line outgrew it (parsed: null).
+    Rebuild the minimal contract line exactly as bench.main_default
+    emits it — every queries() entry plus the maintenance stage keys —
+    and assert comfortable headroom."""
+    import json
+
+    from olake_spark.entry_queries import QUERIES
+
+    q = {k: 999.99 for k in QUERIES}
+    q.update(
+        {
+            f"maint_{s}": 999.99
+            for s in (
+                "ingest", "compact", "merge", "merge_mor", "fold_deletes",
+                "zorder", "hilbert", "manifest_rewrite", "expire",
+                "verify_scan",
+            )
+        }
+    )
+    q["small_row_replicate"] = 999.99
+    line = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": q,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1850, f"bench contract line too long: {len(line)}"
