@@ -197,7 +197,13 @@ def partition_path_template(
             )
     if not parts:
         return F.lit("")
-    return F.regexp_replace(F.concat(*parts), "^/+|/$", "")
+    # normal form = what the reference's filepath.Join(basePath, result)
+    # leaves on disk: Join runs Clean, which collapses duplicate
+    # slashes (empty-rendered segments) and drops leading/trailing
+    # ones (parquet.go:462 additionally trims the trailing '/')
+    return F.regexp_replace(
+        F.regexp_replace(F.concat(*parts), "/{2,}", "/"), "^/+|/+$", ""
+    )
 
 
 def split_pattern_segments(pattern: str) -> list[str]:

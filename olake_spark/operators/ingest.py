@@ -14,6 +14,7 @@ keeps directory-level partition pruning.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
@@ -29,9 +30,13 @@ def decode_hive_partition(dir_path: str) -> str:
     """``__p0=2024/__p1=flac`` → ``2024/flac`` (Spark URL-escapes
     special characters in partition values; unquote restores them).
     A segment that rendered '' (empty fallback) is written by Spark as
-    the ``__HIVE_DEFAULT_PARTITION__`` sentinel — map it back to ''
-    so the manifest records the RAW rendered sub-path, matching what
-    ``partition_path_template`` produces for the same row."""
+    the ``__HIVE_DEFAULT_PARTITION__`` sentinel — map it back to ''.
+    The joined path is then normalized exactly like
+    ``partition_path_template``'s full render (duplicate slashes from
+    empty segments collapsed, leading/trailing stripped — the
+    filepath.Clean form the reference leaves on disk), so the manifest
+    records the SAME raw sub-path the template renders for the row —
+    property-tested round-trip in test_properties.py."""
     vals = []
     for seg in dir_path.split("/"):
         if not seg:
@@ -39,7 +44,7 @@ def decode_hive_partition(dir_path: str) -> str:
         _, _, v = seg.partition("=")
         v = unquote(v)
         vals.append("" if v == "__HIVE_DEFAULT_PARTITION__" else v)
-    return "/".join(vals)
+    return re.sub("/{2,}", "/", "/".join(vals)).strip("/")
 
 
 def append_batch(

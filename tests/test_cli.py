@@ -444,8 +444,15 @@ def test_decode_hive_partition_sentinel_and_escapes():
     from olake_spark.operators.ingest import decode_hive_partition
 
     assert decode_hive_partition("__p0=2024/__p1=flac") == "2024/flac"
+    # empty-rendered segments collapse to the filepath.Clean form the
+    # reference's filepath.Join leaves on disk — matching the full
+    # renderer (property-tested round-trip in test_properties.py)
     assert (
         decode_hive_partition("__p0=a/__p1=__HIVE_DEFAULT_PARTITION__/__p2=b")
-        == "a//b"
+        == "a/b"
+    )
+    assert (
+        decode_hive_partition("__p0=__HIVE_DEFAULT_PARTITION__/__p1=fb")
+        == "fb"
     )
     assert decode_hive_partition("__p0=a%3Ab") == "a:b"

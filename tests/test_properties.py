@@ -337,3 +337,47 @@ def test_merge_scaling_min_of_union_equals_min_of_mins(samples, split):
         for s in STAGES:
             assert union_min[s] <= solo["runs"][c]["stages_sec"][s] + 1e-9
     assert merged["cores_ratio"] == 4.0
+
+
+# --------------------------------------------------------------- W8 escaping
+# boundary: template render → Spark partitioned write → dir decode must
+# reproduce the raw rendered sub-path exactly (manifest/layout drift
+# would hide here), across '/', '=', '%', ':', unicode, and the empty /
+# NULL fallback (__HIVE_DEFAULT_PARTITION__).
+
+_SEG_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab/=%:. é光_-")), max_size=8
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.one_of(st.none(), _SEG_TEXT), st.one_of(st.none(), _SEG_TEXT)),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_hive_partition_roundtrip(vals):
+    import tempfile
+
+    from olake_spark.functions.transforms import partition_path_template
+    from olake_spark.operators.ingest import append_batch
+    from olake_spark.session import get_spark
+    from olake_spark.table import Table
+
+    spark = get_spark("props", cores=4)
+    pat = "/{v,'fb',}/{w,'fw',}"
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(vals)],
+        "doc_id long, v string, w string",
+    )
+    expected = {
+        r["p"] for r in df.select(partition_path_template(pat, df).alias("p")).collect()
+    }
+    loc = tempfile.mkdtemp(prefix="hivert_")
+    t = Table.create(spark, loc, "rt", df.schema, identifier_fields=["doc_id"])
+    append_batch(t, df, partition_regex=pat)
+    got = {e.partition for e in t.entries()}
+    assert got == expected
