@@ -98,10 +98,15 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
     ``file_entry`` the Spark write path uses, so manifests cannot
     drift between the two paths.
     """
+    from olake_spark.table.fsio import fs_for
+
     spark = table.spark
     commit_dir = uuid.uuid4().hex
     out_dir = os.path.join(table.location, "data", commit_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    # byte I/O goes through pyarrow.fs (LocalFileSystem for plain
+    # paths) so the copy path works against any from_uri storage
+    loc_fs, _ = fs_for(table.location)
+    loc_fs.create_dir(fs_for(out_dir)[1], recursive=True)
     key = table.meta.identifier_fields[0] if table.meta.identifier_fields else None
 
     def _lower(p: str):
@@ -141,6 +146,12 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
         import pyarrow as pa
         import pyarrow.parquet as papq
 
+        from olake_spark.table.fsio import fs_for as _fs_for
+
+        # one filesystem per task, rebuilt from the path string (never
+        # a driver-pickled handle — credentials/connections don't ship)
+        fs = _fs_for(location)[0]
+
         def _readable_ts(schema: "pa.Schema") -> "pa.Schema":
             # Spark writes INT96 timestamps, which Arrow reads back as
             # timestamp[ns]; re-writing those as INT64 TIMESTAMP(NANOS)
@@ -155,7 +166,7 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
             return pa.schema(fields, metadata=schema.metadata)
 
         for bin_id, out_abs, inputs, partition in items:
-            pfs = [papq.ParquetFile(p) for p in inputs]
+            pfs = [papq.ParquetFile(_fs_for(p)[1], filesystem=fs) for p in inputs]
             schema = pfs[0].schema_arrow
             if any(pf.schema_arrow != schema for pf in pfs[1:]):
                 for pf in pfs:
@@ -163,7 +174,9 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
                 yield ("fallback", bin_id, None)
                 continue
             out_schema = _readable_ts(schema)
-            writer = papq.ParquetWriter(out_abs, out_schema, compression="zstd")
+            writer = papq.ParquetWriter(
+                _fs_for(out_abs)[1], out_schema, filesystem=fs, compression="zstd"
+            )
             buf, buf_rows, buf_bytes = [], 0, 0
 
             def flush():

@@ -24,6 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 import pyarrow.parquet as papq
 
 from olake_spark.table.format import DataFileEntry
+from olake_spark.table.fsio import file_size, fs_for
 
 #: switch write_datafiles harvesting to the Spark-job path above this
 #: many files per commit (footer ≈ ms each; below this the job-launch
@@ -50,7 +51,11 @@ def file_entry(
     partition: str,
     stats_cols: list[str],
 ) -> DataFileEntry:
-    pf = papq.ParquetFile(abs_path)
+    """Footer read routed through pyarrow.fs (table/fsio.py) so the
+    harvest works against any ``FileSystem.from_uri`` storage, not just
+    POSIX paths; LocalFileSystem is the plain-path default."""
+    fs, fs_path = fs_for(abs_path)
+    pf = papq.ParquetFile(fs_path, filesystem=fs)
     md = pf.metadata
     schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
     lo: dict = {}
@@ -75,7 +80,7 @@ def file_entry(
         path=rel_path,
         partition=partition,
         record_count=md.num_rows,
-        file_size_bytes=os.path.getsize(abs_path),
+        file_size_bytes=file_size(fs_path, fs),
         lower_bounds=lo,
         upper_bounds=hi,
     )

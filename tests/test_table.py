@@ -181,3 +181,34 @@ class TestDistributedHarvest:
         assert len(entries) == 6
         assert sum(e.record_count for e in entries) == 120
         assert all(e.lower_bounds.get("_olake_id") for e in entries)
+
+
+def test_fsio_abstraction_and_uri_footer_harvest(spark, tmp_path):
+    """Byte I/O resolves through pyarrow.fs: plain paths → local
+    filesystem, URIs → FileSystem.from_uri, and footer harvest produces
+    identical entries either way (the copy path's 100 TB surface)."""
+    from pyarrow import fs as pafs
+
+    from olake_spark.table.fsio import file_size, fs_for
+    from olake_spark.table.stats import file_entry
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(10).selectExpr("id AS _olake_id").coalesce(1).write.parquet(
+        str(tmp_path / "out")
+    )
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(str(tmp_path / "out" / "*.parquet"))[0], p)
+
+    f1, n1 = fs_for(p)
+    assert isinstance(f1, pafs.LocalFileSystem) and n1 == p
+    f2, n2 = fs_for("file://" + p)
+    assert n2 == p
+    assert file_size(p) == file_size("file://" + p)
+
+    plain = file_entry(p, "one.parquet", "", ["_olake_id"])
+    via_uri = file_entry("file://" + p, "one.parquet", "", ["_olake_id"])
+    assert plain == via_uri
+    assert plain.record_count == 10
+    assert plain.lower_bounds["_olake_id"] == 0
