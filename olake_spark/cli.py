@@ -67,6 +67,13 @@ JOB_SPEC = {
                         "destination partition template",
                     },
                     "mode": {"enum": ["cow", "mor"], "description": "cdc_merge write mode"},
+                    "fmt": {
+                        "enum": ["parquet", "json", "mongo_jsonl"],
+                        "description": "cdc_merge landing format: decoded RawRecord "
+                        "parquet/jsonl, or raw Mongo change-stream documents "
+                        "(decoded per batch; resume token checkpointed after "
+                        "each batch commit)",
+                    },
                     "fold_every": {"type": "integer", "description": "cdc_merge mor: fold cadence"},
                     "source_dir": {"type": "string"},
                     "checkpoint_dir": {"type": "string"},
@@ -139,6 +146,14 @@ def cmd_check(cfg: dict) -> dict:
                 parse_filter(s["filter"])
             except ValueError as e:
                 errors.append(str(e))
+        if s.get("fmt"):
+            if s.get("op") != "cdc_merge":
+                errors.append(
+                    f"fmt is not supported on op {s.get('op')!r} "
+                    "(only cdc_merge reads a landing format)"
+                )
+            elif s["fmt"] not in ("parquet", "json", "mongo_jsonl"):
+                errors.append(f"unknown cdc_merge fmt {s['fmt']!r}")
         if s.get("partition_regex"):
             if s.get("op") != "append":
                 errors.append(
@@ -304,6 +319,7 @@ def cmd_sync(cfg: dict) -> dict:
                 s["source_dir"],
                 s.get("checkpoint_dir")
                 or os.path.join(t.location, "metadata", f"ckpt-{job_id}-{i}"),
+                fmt=s.get("fmt", "parquet"),
                 mode=s.get("mode", "cow"),
                 fold_every=s.get("fold_every"),
                 # the user filter runs inside foreachBatch, before the

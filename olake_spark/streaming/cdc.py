@@ -26,6 +26,8 @@ reference's 10k-record writer buffer does (protocol/root.go:98).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,17 +37,42 @@ from olake_spark.operators.merge import fold_deletes, merge_into, merge_mor
 from olake_spark.table.table import Table
 
 
+def persist_mongo_cursor(path: str, token: str) -> None:
+    """Atomically persist the Mongo resume-token cursor — the artifact
+    a live tail passes back as ``resumeAfter`` (PostCDC,
+    drivers/mongodb/internal/cdc.go:178-189). Written only AFTER the
+    batch's table commit (T5 ordering), so a crash in between replays
+    the batch (idempotent merge) rather than skipping it."""
+    from olake_spark.streaming.wire import mongo_resume_token_op_time
+
+    t, i = mongo_resume_token_op_time(token)  # validates the token too
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"resume_token": token, "op_time": [t, i]}, f)
+    os.replace(tmp, path)
+
+
+def read_mongo_cursor(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
 def cdc_stream_merge(
     table: Table,
     source_dir: str,
     checkpoint_dir: str,
-    key: str = "_olake_id",
+    key: str | None = None,
     max_files_per_trigger: int | None = None,
     timeout_s: float = 600.0,
     fmt: str = "parquet",
     mode: str = "cow",
     fold_every: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    mongo_cursor_path: str | None = None,
 ) -> dict:
     """Drain a CDC landing dir into the table via per-batch MERGE.
 
@@ -58,7 +85,15 @@ def cdc_stream_merge(
     fmt: "parquet" or "json" — the reference's decoded CDC records are
     JSON (pkg/waljs/filter.go:33-60); jsonl landing files carry the
     same RawRecord shape and are aligned (cast/pad) to the table
-    schema, binary columns arriving base64-encoded.
+    schema, binary columns arriving base64-encoded. "mongo_jsonl"
+    lands RAW Mongo change-stream documents (one per line, the wire
+    shape ChangeStream cursors emit): each batch is decoded with
+    ``decode_mongo_change_stream`` (T3) inside foreachBatch, and after
+    the batch's merge COMMITS, the max resume token of the batch is
+    persisted to ``mongo_cursor_path`` (default
+    ``<checkpoint_dir>/mongo_cursor.json``) — the commit-after-write
+    ordering of PostCDC (cdc.go:178-189): a drained-but-uncommitted
+    batch never advances the cursor.
 
     mode: "cow" rewrites affected files per batch (merge_into); "mor"
     is the reference's actual streaming write — one equality-delete
@@ -78,6 +113,13 @@ def cdc_stream_merge(
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if fmt != "mongo_jsonl" and mongo_cursor_path is not None:
+        raise ValueError("mongo_cursor_path applies only to fmt='mongo_jsonl'")
+    # the merge key is a TABLE property — default to its identifier
+    # field (merge_mor refuses anything else: delete files keyed
+    # differently are invisible to the scan-side anti-join)
+    if key is None:
+        key = (table.meta.identifier_fields or ["_olake_id"])[0]
     if fold_every is not None and mode != "mor":
         # CoW has no delete files to fold — a silently ignored cadence
         # would hide a misconfigured job
@@ -110,8 +152,18 @@ def cdc_stream_merge(
         for c in bin_cols:
             raw = raw.withColumn(c, F.unbase64(F.col(c)))
         src = align_batch(raw, schema)
+        wire_decode = None
+    elif fmt == "mongo_jsonl":
+        from olake_spark.streaming.wire import decode_mongo_change_stream
+
+        # raw change-stream documents, one per line → column `value`
+        src = reader.text(source_dir)
+        wire_decode = lambda raw: decode_mongo_change_stream(raw, schema)  # noqa: E731
+        if mongo_cursor_path is None:
+            mongo_cursor_path = os.path.join(checkpoint_dir, "mongo_cursor.json")
     else:
         src = reader.schema(schema).parquet(source_dir)
+        wire_decode = None
 
     progress = {"batches": 0, "rows": 0, "folds": 0}
     merge_fn = merge_mor if mode == "mor" else merge_into
@@ -124,14 +176,32 @@ def cdc_stream_merge(
         # arbitrary transform, so without the cache the enrichment
         # would run twice (and a nondeterministic transform could hand
         # the delete and data writers different rows).
+        raw = None
+        if wire_decode is not None:
+            # the raw wire batch is read twice (decode+merge, then the
+            # resume-token max) — cache it; it's the undecoded JSONL,
+            # not payload rows
+            raw = batch_df.cache()
+            batch_df = wire_decode(raw)
         cached = None
         if transform is not None:
             batch_df = cached = transform(batch_df).cache()
         try:
             m = merge_fn(table, batch_df, key=key)
+            if raw is not None:
+                # T5 ordering: merge COMMITTED above; only now may the
+                # source cursor advance (even for batches whose ops all
+                # decoded away — the stream is still caught up to them)
+                from olake_spark.streaming.wire import mongo_next_resume_token
+
+                tok = mongo_next_resume_token(raw)
+                if tok:
+                    persist_mongo_cursor(mongo_cursor_path, tok)
         finally:
             if cached is not None:
                 cached.unpersist()
+            if raw is not None:
+                raw.unpersist()
         n = int(m.get("source_rows") or 0)
         if n == 0:
             return
@@ -156,6 +226,11 @@ def cdc_stream_merge(
         f = fold_deletes(table)
         if not f.get("skipped"):
             progress["folds"] += 1
+    if fmt == "mongo_jsonl":
+        progress["mongo_cursor"] = mongo_cursor_path
+        cur = read_mongo_cursor(mongo_cursor_path)
+        if cur:
+            progress["resume_token"] = cur["resume_token"]
     return progress
 
 

@@ -456,3 +456,91 @@ def test_decode_hive_partition_sentinel_and_escapes():
         == "fb"
     )
     assert decode_hive_partition("__p0=a%3Ab") == "a:b"
+
+
+def test_sync_mongo_change_stream_end_to_end(spark, tmp_path):
+    """T3 driven through cmd_sync: a cdc_merge stage whose landing is
+    raw Mongo change-stream JSONL — insert/update/delete batches merge
+    via merge_mor, the resume token is check-pointed only after the
+    batch commit, and a restart replays nothing."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from olake_spark.streaming.cdc import read_mongo_cursor
+    from olake_spark.table.table import Table
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_op_type", T.StringType()),
+            T.StructField("_cdc_timestamp", T.TimestampType()),
+            T.StructField("_olake_timestamp", T.TimestampType()),
+        ]
+    )
+    t = Table.create(spark, str(tmp_path / "mtbl"), "mdocs", schema, identifier_fields=["id"])
+
+    def evt(op, t_sec, inc, full=None, key=None):
+        tok = "82" + format(t_sec, "08x") + format(inc, "08x") + "bb" * 4
+        d = {
+            "_id": {"_data": tok},
+            "operationType": op,
+            "clusterTime": {"t": t_sec, "i": inc},
+            "wallTime": "2026-01-03 00:00:07",
+        }
+        if full is not None:
+            d["fullDocument"] = full
+        if key is not None:
+            d["documentKey"] = key
+        return _json.dumps(d)
+
+    landing = tmp_path / "mongo_landing"
+    landing.mkdir()
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            [evt("insert", 1767000100, i + 1, full={"id": str(i), "name": f"d{i}"}) for i in range(4)]
+            + [
+                evt("update", 1767000101, 1, full={"id": "0", "name": "d0v2"}),
+                evt("delete", 1767000101, 2, key={"id": "3"}),
+            ]
+        )
+        + "\n"
+    )
+    ckpt = str(tmp_path / "mckpt")
+    cfg = {
+        "table": t.location,
+        "job_id": "job-M",
+        "stages": [
+            {
+                "op": "cdc_merge",
+                "fmt": "mongo_jsonl",
+                "mode": "mor",
+                "source_dir": str(landing),
+                "checkpoint_dir": ckpt,
+            }
+        ],
+    }
+    assert cli.cmd_check(cfg)["status"] == "SUCCEEDED"
+    out = cli.cmd_sync(cfg)
+    stage = out["stages"][0]
+    cur = read_mongo_cursor(stage["mongo_cursor"])
+    assert cur["op_time"] == [1767000101, 2]
+    assert stage["resume_token"] == cur["resume_token"]
+    t.refresh()
+    got = {r["id"]: r["name"] for r in t.scan().select("id", "name").collect()}
+    assert got == {0: "d0v2", 1: "d1", 2: "d2"}
+
+    # restart: engine checkpoint skips the drained files — no new
+    # snapshot, cursor untouched
+    snap = t.meta.current_snapshot_id
+    out2 = cli.cmd_sync(cfg)
+    assert out2["stages"][0]["batches"] == 0
+    t.refresh()
+    assert t.meta.current_snapshot_id == snap
+    assert read_mongo_cursor(stage["mongo_cursor"]) == cur
+
+    # fmt is a cdc_merge-only key — check fails loudly elsewhere
+    bad = {"table": t.location, "stages": [{"op": "compact", "fmt": "mongo_jsonl"}]}
+    r = cli.cmd_check(bad)
+    assert r["status"] == "FAILED" and any("fmt" in e for e in r["errors"])

@@ -425,3 +425,136 @@ class TestStreamingMoR:
 
         with _pytest.raises(ValueError, match="mode"):
             cdc_stream_merge(t, str(tmp_path), str(tmp_path / "ck"), mode="nope")
+
+
+# --------------------------------------------------------------- T3 live:
+# raw Mongo change-stream JSONL landing, decoded per batch inside the
+# stream, resume token check-pointed ONLY after each batch's merge
+# commit (PostCDC ordering, drivers/mongodb/internal/cdc.go:178-189).
+
+import json as _json
+
+from pyspark.sql import types as T
+
+MONGO_TBL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("_op_type", T.StringType()),
+        T.StructField("_cdc_timestamp", T.TimestampType()),
+        T.StructField("_olake_timestamp", T.TimestampType()),
+    ]
+)
+
+
+def _mongo_evt(op, t_sec, inc, full=None, key=None):
+    tok = "82" + format(t_sec, "08x") + format(inc, "08x") + "aa" * 4
+    doc = {
+        "_id": {"_data": tok},
+        "operationType": op,
+        "clusterTime": {"t": t_sec, "i": inc},
+        "wallTime": "2026-01-03 00:00:07",
+    }
+    if full is not None:
+        doc["fullDocument"] = full
+    if key is not None:
+        doc["documentKey"] = key
+    return _json.dumps(doc)
+
+
+def _land_mongo(landing, name, events):
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        f.write("\n".join(events) + "\n")
+
+
+class TestMongoChangeStreamLanding:
+    def _mk(self, spark, path):
+        return Table.create(
+            spark, path, "mdocs", MONGO_TBL_SCHEMA, identifier_fields=["id"]
+        )
+
+    def test_insert_update_delete_and_cursor_after_commit(self, spark, tmp_path):
+        from olake_spark.streaming.cdc import read_mongo_cursor
+
+        t = self._mk(spark, str(tmp_path / "tbl"))
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        _land_mongo(
+            landing,
+            "b1.jsonl",
+            [
+                _mongo_evt("insert", 1767000001, i + 1, full={"id": str(i), "name": f"n{i}", "payload": "0a0b"})
+                for i in range(5)
+            ],
+        )
+        r1 = cdc_stream_merge(t, landing, ckpt, key="id", fmt="mongo_jsonl", mode="mor")
+        assert r1["rows"] == 5
+        cur1 = read_mongo_cursor(r1["mongo_cursor"])
+        assert cur1["op_time"] == [1767000001, 5]
+        got = {r["id"]: r for r in t.scan().collect()}
+        assert set(got) == set(range(5))
+        assert got[0]["name"] == "n0" and bytes(got[0]["payload"]) == b"\x0a\x0b"
+
+        # batch 2: update id=1, delete id=2 — cursor advances with it
+        _land_mongo(
+            landing,
+            "b2.jsonl",
+            [
+                _mongo_evt("update", 1767000009, 1, full={"id": "1", "name": "n1v2", "payload": "0c"}),
+                _mongo_evt("delete", 1767000009, 2, key={"id": "2"}),
+            ],
+        )
+        r2 = cdc_stream_merge(t, landing, ckpt, key="id", fmt="mongo_jsonl", mode="mor")
+        cur2 = read_mongo_cursor(r2["mongo_cursor"])
+        assert cur2["op_time"] == [1767000009, 2]
+        got = {r["id"]: r for r in t.scan().collect()}
+        assert set(got) == {0, 1, 3, 4}
+        assert got[1]["name"] == "n1v2"
+
+        # restart with nothing new: no-op — same snapshot, same cursor
+        snap_before = t.meta.current_snapshot_id
+        r3 = cdc_stream_merge(t, landing, ckpt, key="id", fmt="mongo_jsonl", mode="mor")
+        assert r3["batches"] == 0 and r3["rows"] == 0
+        t.refresh()
+        assert t.meta.current_snapshot_id == snap_before
+        assert read_mongo_cursor(r3["mongo_cursor"]) == cur2
+
+    def test_cursor_not_advanced_when_batch_fails(self, spark, tmp_path):
+        """Commit-after-write: a batch whose merge never commits must
+        leave the resume cursor untouched."""
+        import pytest as _pytest
+
+        from olake_spark.streaming.cdc import read_mongo_cursor
+
+        t = self._mk(spark, str(tmp_path / "tbl"))
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        _land_mongo(
+            landing,
+            "b1.jsonl",
+            [_mongo_evt("insert", 1767000002, 1, full={"id": "9", "name": "x", "payload": "00"})],
+        )
+
+        def boom(df):
+            raise RuntimeError("transform failed before merge")
+
+        with _pytest.raises(Exception):
+            cdc_stream_merge(
+                t, landing, ckpt, key="id", fmt="mongo_jsonl", mode="mor",
+                transform=boom,
+            )
+        cursor_path = os.path.join(ckpt, "mongo_cursor.json")
+        assert read_mongo_cursor(cursor_path) is None
+        assert t.scan().count() == 0
+
+    def test_cursor_path_rejected_for_other_formats(self, spark, tmp_path):
+        import pytest as _pytest
+
+        t = self._mk(spark, str(tmp_path / "tbl"))
+        with _pytest.raises(ValueError, match="mongo_cursor_path"):
+            cdc_stream_merge(
+                t, str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+                key="id", fmt="parquet", mongo_cursor_path="/tmp/x.json",
+            )
