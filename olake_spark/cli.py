@@ -268,7 +268,13 @@ def cmd_sync(cfg: dict) -> dict:
                 stage=stage_id,
             )
         if op == "compact":
-            return compact(t, target_size=s.get("target_size"), lineage=stage_lin, stage=stage_id)
+            # ticker=stats: Synced Records moves wave-by-wave during a
+            # long compaction (compact's result carries no "rows" key,
+            # so the per-stage bump below cannot double-count)
+            return compact(
+                t, target_size=s.get("target_size"), lineage=stage_lin,
+                stage=stage_id, ticker=stats,
+            )
         if op == "cluster":
             return cluster(
                 t,

@@ -306,8 +306,16 @@ def compact(
     stage: str = "compact",
     wave_bins: int = 64,
     mode: str = "auto",
+    ticker=None,
 ) -> dict:
     """Compact small files; returns metrics. Resumable per wave.
+
+    ``ticker``: optional A5 stats sink (``plans/ticker.StatsTicker`` or
+    anything with ``record_synced(n)``) bumped with the ROWS WRITTEN
+    after each wave commit — so a long compaction's ``Synced Records``
+    moves wave-by-wave instead of staying flat until the stage returns.
+    The result dict carries no "rows" key on purpose: callers that bump
+    per stage (cmd_sync) would double-count otherwise.
 
     Merge-on-read interaction: rewriting a data file gives its rows a
     NEW sequence number, which would lift them past any live equality
@@ -417,6 +425,8 @@ def compact(
             continue
         total_in += len(removed)
         total_out += len(new_entries)
+        if ticker is not None:
+            ticker.record_synced(sum(e.record_count for e in new_entries))
         if lineage is not None:
             lineage.mark_done(
                 stage,

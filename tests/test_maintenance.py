@@ -364,3 +364,41 @@ class TestCopyPathCompaction:
         assert len(t.delete_entries()) == 0  # folded at wave time
         assert t.scan().count() == expected_rows
         assert _content_hash(t.scan()) == h
+
+
+def test_compact_ticker_bumps_per_wave(spark, tmp_path):
+    """A5 honesty for long compactions: Synced Records must move
+    wave-by-wave (one bump per wave commit, monotonic, summing to the
+    rows written), not once when the stage returns."""
+    from olake_spark.fixtures.audio_clips import FULL_SCHEMA, generate_clips
+    from olake_spark.operators.compaction import compact
+    from olake_spark.table.table import Table
+
+    t = Table.create(
+        spark, str(tmp_path / "tbl"), "audio_clips", FULL_SCHEMA,
+        identifier_fields=["_olake_id"],
+    )
+    for w in range(3):
+        df = (
+            generate_clips(spark, 40, partitions=2)
+            .withColumn("clip_id", F.concat(F.lit(f"t{w}_"), F.col("clip_id")))
+            .withColumn("_olake_id", F.md5(F.col("clip_id")))
+        )
+        t.commit_append(t.write_datafiles(df, range_partition_cols=["_olake_id"], num_groups=2))
+
+    class Spy:
+        def __init__(self):
+            self.bumps = []
+
+        def record_synced(self, n):
+            self.bumps.append(int(n))
+
+    spy = Spy()
+    # target sized so a bin holds ~2 of the 6 ingest files → ≥3 bins,
+    # one bin per wave
+    avg = sum(e.file_size_bytes for e in t.entries()) / len(t.entries())
+    res = compact(t, target_size=int(avg * 2.2), wave_bins=1, ticker=spy)
+    assert res["waves"] >= 2, "fixture must produce a multi-wave compaction"
+    assert len(spy.bumps) == res["waves"]
+    assert all(b > 0 for b in spy.bumps)
+    assert sum(spy.bumps) == sum(e.record_count for e in t.entries())
