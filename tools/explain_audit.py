@@ -150,6 +150,15 @@ AUDITS = {
         ("file→snapshot map rides a broadcast", "BroadcastHashJoin"),
         ("insert/delete branches unioned", "Union"),
     ],
+    "dedup_clusters": [
+        # iterative CC: per-round lineage must be cut (checkpoint scan,
+        # not a re-derivation of every prior round's joins), and the
+        # per-vertex neighbor-min is a keyed aggregate
+        ("labels read from truncated lineage", "Scan ExistingRDD"),
+        ("neighbor-min is a hash aggregate on ids", "HashAggregate"),
+        ("no cartesian product anywhere", "!CartesianProduct"),
+        ("no row-at-a-time Python UDF", "!BatchEvalPython"),
+    ],
     "stratified_sample": [
         ("hash gate evaluated at the scan filter", "Filter"),
         ("partial agg before exchange", "HashAggregate"),
