@@ -37,6 +37,20 @@ FANOUT_COL = "__olake_bin"
 WAVE_RETRIES = 3
 
 
+def _remove_uncommitted(table: Table, entries: list[DataFileEntry]) -> None:
+    """Best-effort removal of files a conflicted (never-committed)
+    attempt wrote — they are referenced by no manifest, so leaving them
+    only strands storage until an out-of-band orphan sweep."""
+    from olake_spark.table.fsio import fs_for
+
+    for e in entries:
+        try:
+            fs, p = fs_for(table.abs_entry_path(e))
+            fs.delete_file(p)
+        except OSError:
+            pass
+
+
 def _refuse_live_deletes(t: Table) -> None:
     """commit_replace validation hook: the wave's outputs were built
     against a delete-free scan, so ANY live equality-delete file at
@@ -416,6 +430,9 @@ def compact(
                 )
                 break
             except CommitConflict:
+                # the attempt's outputs were never committed — remove
+                # them (best-effort) so retries don't strand orphans
+                _remove_uncommitted(table, new_entries)
                 table.refresh()
                 if wave_attempt == WAVE_RETRIES:
                     raise

@@ -612,13 +612,27 @@ def _fold_deletes_once(
                 f"delete files committed mid-fold: {sorted(newer)[:5]}"
             )
 
-    snap = table.commit_replace(
-        set(affected) | consumed,
-        new_entries,
-        operation="fold-deletes",
-        summary={"folded-delete-files": len(dels), "rewritten-files": len(affected)},
-        validate_extra=_no_newer_deletes,
-    )
+    try:
+        snap = table.commit_replace(
+            set(affected) | consumed,
+            new_entries,
+            operation="fold-deletes",
+            summary={"folded-delete-files": len(dels), "rewritten-files": len(affected)},
+            validate_extra=_no_newer_deletes,
+        )
+    except CommitConflict:
+        # the attempt's rewrite outputs were never committed — remove
+        # them before the caller's retry so conflicts don't strand
+        # orphan files (best-effort)
+        from olake_spark.table.fsio import fs_for
+
+        for e in new_entries:
+            try:
+                fs, p = fs_for(table.abs_entry_path(e))
+                fs.delete_file(p)
+            except OSError:
+                pass
+        raise
     metrics = {
         "snapshot_id": snap.snapshot_id,
         "delete_files": len(dels),

@@ -120,6 +120,28 @@ def _content(t):
     }
 
 
+def _assert_no_orphans(t):
+    """Every parquet on disk must be referenced by SOME committed
+    snapshot — a conflicted (retried) attempt must clean up the outputs
+    it never committed."""
+    import os as _os
+
+    from olake_spark.table import format as fmt
+
+    committed = set()
+    for s in t.meta.snapshots:
+        for m in s.manifests:
+            committed.update(e.path for e in fmt.read_manifest(t.location, m))
+    on_disk = set()
+    data_root = _os.path.join(t.location, "data")
+    for root, _dirs, files in _os.walk(data_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(_os.path.relpath(_os.path.join(root, f), t.location))
+    orphans = on_disk - committed
+    assert not orphans, f"orphan files from conflicted attempts: {sorted(orphans)[:5]}"
+
+
 def test_compaction_mid_wave_delete_race(spark, tmp_path, monkeypatch):
     raced = _race_table(spark, str(tmp_path / "raced"))
     control = _race_table(spark, str(tmp_path / "control"))
@@ -147,6 +169,7 @@ def test_compaction_mid_wave_delete_race(spark, tmp_path, monkeypatch):
     assert fired["n"] == 1
     assert raced.delete_entries() == []  # retry folded the racing delete
     assert _content(raced) == _content(control)
+    _assert_no_orphans(raced)
 
 
 def test_fold_mid_fold_delete_race(spark, tmp_path, monkeypatch):
@@ -175,3 +198,4 @@ def test_fold_mid_fold_delete_race(spark, tmp_path, monkeypatch):
     assert fired["n"] == 1
     assert raced.delete_entries() == []  # retry folded BOTH batches
     assert _content(raced) == _content(control)
+    _assert_no_orphans(raced)

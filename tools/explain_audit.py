@@ -151,11 +151,12 @@ AUDITS = {
         ("insert/delete branches unioned", "Union"),
     ],
     "dedup_clusters": [
-        # iterative CC: per-round lineage must be cut (checkpoint scan,
-        # not a re-derivation of every prior round's joins), and the
-        # per-vertex neighbor-min is a keyed aggregate
+        # iterative CC: the returned labels must read from TRUNCATED
+        # lineage (a checkpoint scan), not a re-derivation of every
+        # prior round's join tree — without the per-round cut the plan
+        # doubles each iteration
         ("labels read from truncated lineage", "Scan ExistingRDD"),
-        ("neighbor-min is a hash aggregate on ids", "HashAggregate"),
+        ("no join re-derivation in the final plan", "!SortMergeJoin"),
         ("no cartesian product anywhere", "!CartesianProduct"),
         ("no row-at-a-time Python UDF", "!BatchEvalPython"),
     ],
