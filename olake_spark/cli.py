@@ -52,7 +52,8 @@ JOB_SPEC = {
                             "append", "cdc_merge", "merge", "merge_mor",
                             "fold_deletes", "compact", "cluster",
                             "cluster_incremental", "resample",
-                            "rewrite_manifests", "expire", "auto",
+                            "rewrite_manifests", "expire", "gc_orphans",
+                            "rollback", "auto",
                         ]
                     },
                     "filter": {
@@ -124,7 +125,8 @@ def cmd_check(cfg: dict) -> dict:
         if s.get("op") not in (
             "append", "cdc_merge", "merge", "merge_mor", "fold_deletes",
             "compact", "cluster", "cluster_incremental",
-            "resample", "rewrite_manifests", "expire", "auto",
+            "resample", "rewrite_manifests", "expire", "gc_orphans",
+            "rollback", "auto",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
         if s.get("op") in ("append", "cdc_merge", "merge", "merge_mor") and not s.get(
@@ -336,6 +338,17 @@ def cmd_sync(cfg: dict) -> dict:
             return rewrite_manifests(t)
         if op == "expire":
             return expire_snapshots(t, keep_last=s.get("keep_last", 2))
+        if op == "gc_orphans":
+            from olake_spark.operators.gc import remove_orphan_files
+
+            return remove_orphan_files(
+                t,
+                older_than_ms=s.get("older_than_ms"),
+                dry_run=s.get("dry_run", False),
+            )
+        if op == "rollback":
+            snap = t.rollback_to(int(s["snapshot_id"]))
+            return {"snapshot_id": snap.snapshot_id, "rolled_back_to": int(s["snapshot_id"])}
         raise ValueError(f"unknown op {op!r}")
 
     from olake_spark.plans.ticker import StatsTicker

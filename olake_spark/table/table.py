@@ -732,3 +732,30 @@ class Table:
             return t._next_snapshot("rewrite-manifests", new_manifests, summary or {})
 
         return self._commit(build)
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Metadata-only rollback: make ``snapshot_id``'s file set
+        current again by committing a NEW snapshot that shares its
+        manifests (Iceberg ``rollback_to_snapshot`` semantics — history
+        stays append-only, so readers pinned to the snapshots being
+        rolled past are untouched, expiry still sees them, and the
+        rollback itself is a visible, attributable history event).
+        The bad snapshots' files stay referenced until snapshot expiry
+        ages them out — rollback undoes VISIBILITY, expiry reclaims
+        space; keeping the two separate is what makes rollback instant
+        and safe at 10^12-row scale (zero data IO here)."""
+
+        def build(t: "Table") -> Snapshot:
+            target = next(
+                (s for s in t.meta.snapshots if s.snapshot_id == snapshot_id), None
+            )
+            if target is None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} not in table history "
+                    f"(have {[s.snapshot_id for s in t.meta.snapshots]})"
+                )
+            return t._next_snapshot(
+                "rollback", list(target.manifests), {"rolled-back-to": snapshot_id}
+            )
+
+        return self._commit(build)

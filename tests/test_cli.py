@@ -36,7 +36,8 @@ def test_spec_lists_all_ops():
     assert set(ops) == {
         "append", "cdc_merge", "merge", "merge_mor", "fold_deletes",
         "compact", "cluster", "cluster_incremental",
-        "resample", "rewrite_manifests", "expire", "auto",
+        "resample", "rewrite_manifests", "expire", "gc_orphans",
+        "rollback", "auto",
     }
 
 
@@ -544,3 +545,31 @@ def test_sync_mongo_change_stream_end_to_end(spark, tmp_path):
     bad = {"table": t.location, "stages": [{"op": "compact", "fmt": "mongo_jsonl"}]}
     r = cli.cmd_check(bad)
     assert r["status"] == "FAILED" and any("fmt" in e for e in r["errors"])
+
+
+def test_sync_gc_and_rollback_stages(spark, tmp_path):
+    import time
+
+    t = _mk(spark, tmp_path)
+    # crashed-wave debris: written, never committed
+    stray = os.path.join(t.location, "data", "deadbeefcafe", "w.parquet")
+    os.makedirs(os.path.dirname(stray))
+    with open(stray, "wb") as f:
+        f.write(b"PAR1junkPAR1")
+    first_id = t.meta.snapshots[0].snapshot_id
+    out = cli.cmd_sync(
+        {
+            "table": t.location,
+            "stages": [
+                {"op": "gc_orphans", "older_than_ms": int(time.time() * 1000) + 3_600_000},
+                {"op": "rollback", "snapshot_id": first_id},
+            ],
+        }
+    )
+    gc = out["stages"][0]
+    assert gc["stage"] == "00-gc_orphans" and gc["deleted_files"] == 1
+    assert not os.path.exists(stray)
+    rb = out["stages"][1]
+    assert rb["rolled_back_to"] == first_id
+    # _mk appends twice (80 rows each); rollback to the first → 80 live
+    assert Table.load(spark, t.location).scan().count() == 80

@@ -402,3 +402,57 @@ def test_compact_ticker_bumps_per_wave(spark, tmp_path):
     assert len(spy.bumps) == res["waves"]
     assert all(b > 0 for b in spy.bumps)
     assert sum(spy.bumps) == sum(e.record_count for e in t.entries())
+
+
+class TestRollback:
+    def test_rollback_restores_old_file_set(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, tmp_table_dir, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+        )
+        df1 = generate_clips(spark, 20).withColumn("_olake_id", F.md5("clip_id"))
+        s1 = t.commit_append(t.write_datafiles(df1, range_partition_cols=["_olake_id"], num_groups=2))
+        h1 = _content_hash(t.scan())
+        df2 = generate_clips(spark, 15).withColumn(
+            "clip_id", F.concat(F.lit("b_"), F.col("clip_id"))
+        ).withColumn("_olake_id", F.md5("clip_id"))
+        t.commit_append(t.write_datafiles(df2, range_partition_cols=["_olake_id"], num_groups=2))
+        assert t.scan().count() == 35
+
+        rb = t.rollback_to(s1.snapshot_id)
+        assert rb.operation == "rollback"
+        assert rb.summary["rolled-back-to"] == s1.snapshot_id
+        assert t.scan().count() == 20
+        assert _content_hash(t.scan()) == h1
+        # history is append-only: the rolled-past snapshot still exists
+        # and remains time-travel readable
+        assert any(s.snapshot_id == s1.snapshot_id + 1 for s in t.meta.snapshots)
+        assert t.scan(snapshot_id=s1.snapshot_id + 1).count() == 35
+
+    def test_rollback_then_append_builds_on_restored_state(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, tmp_table_dir, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+        )
+        df1 = generate_clips(spark, 10).withColumn("_olake_id", F.md5("clip_id"))
+        s1 = t.commit_append(t.write_datafiles(df1, range_partition_cols=["_olake_id"], num_groups=1))
+        df2 = generate_clips(spark, 10).withColumn(
+            "clip_id", F.concat(F.lit("bad_"), F.col("clip_id"))
+        ).withColumn("_olake_id", F.md5("clip_id"))
+        t.commit_append(t.write_datafiles(df2, range_partition_cols=["_olake_id"], num_groups=1))
+        t.rollback_to(s1.snapshot_id)
+        df3 = generate_clips(spark, 5).withColumn(
+            "clip_id", F.concat(F.lit("fix_"), F.col("clip_id"))
+        ).withColumn("_olake_id", F.md5("clip_id"))
+        t.commit_append(t.write_datafiles(df3, range_partition_cols=["_olake_id"], num_groups=1))
+        ids = [r["clip_id"] for r in t.scan().select("clip_id").collect()]
+        assert len(ids) == 15
+        assert not any(i.startswith("bad_") for i in ids)
+
+    def test_rollback_unknown_snapshot_rejected(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, tmp_table_dir, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+        )
+        with pytest.raises(ValueError, match="not in table history"):
+            t.rollback_to(999)
