@@ -119,6 +119,59 @@ def _delete_files(location: str, root: str):
     return gen
 
 
+def companion_join_key() -> "F.Column":
+    """Listing row → liveness-lookup key.
+
+    Hadoop write-protocol companions are live by derivation, not by
+    manifest entry: a ``.X.crc`` checksum sidecar is live iff ``X`` is
+    live (same dir, by construction), and a ``_SUCCESS``-style marker
+    is live iff its COMMIT DIR (``data/<uuid>`` — the Spark job's
+    output root; fanout writes put the data files one ``col=val``
+    level deeper, so dirname equality would miss) still holds any
+    live file. One derived key covers all three shapes, so the sweep
+    stays a single anti-join.
+    """
+    base_c = F.substring_index("rel_path", "/", -1)
+    dirp = F.expr(
+        "substring(rel_path, 1, length(rel_path)"
+        " - length(substring_index(rel_path, '/', -1)) - 1)"
+    )
+    commit_dir = F.substring_index("rel_path", "/", 2)
+    is_crc = base_c.rlike(r"^\..*\.crc$")
+    stripped = F.when(is_crc, F.expr(
+        "substring(substring_index(rel_path, '/', -1), 2,"
+        " length(substring_index(rel_path, '/', -1)) - 5)"
+    )).otherwise(base_c)
+    return (
+        F.when(stripped.startswith("_"), F.concat(F.lit("DIR:"), commit_dir))
+        .when(is_crc, F.concat(dirp, F.lit("/"), stripped))
+        .otherwise(F.col("rel_path"))
+    )
+
+
+def live_join_keys(live_df: "DataFrame") -> "DataFrame":
+    """Live-path DataFrame (col ``rel_path``) → distinct ``join_key``
+    set: the paths themselves plus a ``DIR:<commit-dir>`` key per
+    path so markers in a commit dir with any live file map live."""
+    return (
+        live_df.unionByName(
+            live_df.select(
+                F.concat(
+                    F.lit("DIR:"), F.substring_index("rel_path", "/", 2)
+                ).alias("rel_path")
+            )
+        )
+        .distinct()
+        .withColumnRenamed("rel_path", "join_key")
+    )
+
+
+def orphan_candidates(listing: "DataFrame", live_df: "DataFrame") -> "DataFrame":
+    """Physical listing ANTI JOIN derived live keys (no age filter)."""
+    keyed = listing.withColumn("join_key", companion_join_key())
+    return keyed.join(live_join_keys(live_df), on="join_key", how="left_anti")
+
+
 def remove_orphan_files(
     table: Table,
     older_than_ms: int | None = None,
@@ -185,41 +238,8 @@ def remove_orphan_files(
     if loose:
         listing = listing.unionByName(spark.createDataFrame(pd.DataFrame(loose), _LISTING_SCHEMA))
 
-    # Hadoop write-protocol companions are live by derivation, not by
-    # manifest entry: a ``.X.crc`` checksum sidecar is live iff ``X``
-    # is live (same dir, by construction), and a ``_SUCCESS``-style
-    # marker is live iff its COMMIT DIR (``data/<uuid>`` — the Spark
-    # job's output root; fanout writes put the data files one
-    # ``col=val`` level deeper, so dirname equality would miss) still
-    # holds any live file. One derived join key covers all three
-    # shapes, so the sweep stays a single anti-join.
-    base_c = F.substring_index("rel_path", "/", -1)
-    dirp = F.expr(
-        "substring(rel_path, 1, length(rel_path)"
-        " - length(substring_index(rel_path, '/', -1)) - 1)"
-    )
-    commit_dir = F.substring_index("rel_path", "/", 2)
-    is_crc = base_c.rlike(r"^\..*\.crc$")
-    stripped = F.when(is_crc, F.expr(
-        "substring(substring_index(rel_path, '/', -1), 2,"
-        " length(substring_index(rel_path, '/', -1)) - 5)"
-    )).otherwise(base_c)
-    keyed = listing.withColumn(
-        "join_key",
-        F.when(stripped.startswith("_"), F.concat(F.lit("DIR:"), commit_dir))
-        .when(is_crc, F.concat(dirp, F.lit("/"), stripped))
-        .otherwise(F.col("rel_path")),
-    )
-    live_keys = live_df.unionByName(
-        live_df.select(
-            F.concat(
-                F.lit("DIR:"), F.substring_index("rel_path", "/", 2)
-            ).alias("rel_path")
-        )
-    ).distinct().withColumnRenamed("rel_path", "join_key")
-
     orphans = (
-        keyed.join(live_keys, on="join_key", how="left_anti")
+        orphan_candidates(listing, live_df)
         .where(F.col("mtime_ms") < F.lit(cutoff))
         .persist()
     )

@@ -137,3 +137,85 @@ class TestOrphanGC:
         t.commit_append(t.write_datafiles(df, fanout_col="grp", num_groups=2))
         res = remove_orphan_files(t, older_than_ms=FUTURE_MS, dry_run=True)
         assert res["orphans"] == 0, res["sample"]
+
+
+class TestCompanionClassification:
+    """The join-key derivation against an independent pure-Python
+    reference, over a corpus of tricky layouts (fanout depth, unicode,
+    spaces, '=' dirs, crc-without-companion, markers at every level)."""
+
+    LIVE = [
+        "data/c1/part-0.parquet",
+        "data/c1/part-1.parquet",
+        "data/c2/grp=0/part-0.parquet",          # fanout: one level deeper
+        "data/c2/grp=1/part-0.parquet",
+        "data/c3/année=été 2026/part ü.parquet",  # unicode + spaces
+    ]
+    PHYSICAL = LIVE + [
+        "data/c1/_SUCCESS",                      # marker, live dir
+        "data/c1/._SUCCESS.crc",                 # marker sidecar, live dir
+        "data/c1/.part-0.parquet.crc",           # crc of live file
+        "data/c2/_SUCCESS",                      # marker at fanout commit root
+        "data/c2/grp=0/.part-0.parquet.crc",     # crc inside fanout subdir
+        "data/c3/année=été 2026/.part ü.parquet.crc",
+        "data/c1/part-9.parquet",                # unreferenced sibling
+        "data/c1/.part-9.parquet.crc",           # crc of unreferenced sibling
+        "data/dead/_SUCCESS",                    # marker, fully-dead dir
+        "data/dead/._SUCCESS.crc",
+        "data/dead/x.parquet",
+        "data/dead/.x.parquet.crc",
+        "data/dead/_temporary/0/task_1/part-0.parquet",  # crashed job temp
+        "data/_SUCCESS",                         # marker directly under data/
+        "data/loose.bin",                        # loose foreign file
+        "data/c2/grp=0/.orphan.crc",             # crc with no companion
+    ]
+
+    @staticmethod
+    def _expected_orphans(physical, live):
+        live = set(live)
+        live_dirs = {"/".join(p.split("/", 2)[:2]) for p in live}
+        out = []
+        for p in physical:
+            b = p.rsplit("/", 1)[-1]
+            d = p[: len(p) - len(b) - 1]
+            if b.startswith(".") and b.endswith(".crc"):
+                comp = b[1:-4]
+                if comp.startswith("_"):
+                    ok = "/".join(p.split("/", 2)[:2]) in live_dirs
+                else:
+                    ok = f"{d}/{comp}" in live
+            elif b.startswith("_"):
+                ok = "/".join(p.split("/", 2)[:2]) in live_dirs
+            else:
+                ok = p in live
+            if not ok:
+                out.append(p)
+        return sorted(out)
+
+    def test_matches_reference_classifier(self, spark):
+        from olake_spark.operators.gc import orphan_candidates
+
+        listing = spark.createDataFrame(
+            [(p, 1, 0) for p in self.PHYSICAL],
+            "rel_path string, size long, mtime_ms long",
+        )
+        live = spark.createDataFrame([(p,) for p in self.LIVE], "rel_path string")
+        got = sorted(
+            r["rel_path"]
+            for r in orphan_candidates(listing, live).select("rel_path").collect()
+        )
+        assert got == self._expected_orphans(self.PHYSICAL, self.LIVE)
+        # sanity on the expectation itself: the dead dir, the stray
+        # sibling + its crc, the companionless crc, temp debris, the
+        # data/-level marker, and the loose file are orphaned; nothing
+        # referenced (or companion-of-referenced) is
+        exp = set(self._expected_orphans(self.PHYSICAL, self.LIVE))
+        assert "data/c1/part-9.parquet" in exp
+        assert "data/c1/.part-9.parquet.crc" in exp
+        assert "data/c2/grp=0/.orphan.crc" in exp
+        assert "data/dead/_SUCCESS" in exp and "data/dead/x.parquet" in exp
+        assert "data/_SUCCESS" in exp and "data/loose.bin" in exp
+        assert "data/dead/_temporary/0/task_1/part-0.parquet" in exp
+        assert not exp & set(self.LIVE)
+        assert "data/c1/_SUCCESS" not in exp and "data/c2/_SUCCESS" not in exp
+        assert "data/c1/.part-0.parquet.crc" not in exp
