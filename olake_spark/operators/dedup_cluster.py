@@ -59,8 +59,17 @@ def min_label_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    # Iterate ONLY over edge-touched vertices: a singleton's label can
+    # never change (no neighbors), so the loop state is ∝ |V(edges)| —
+    # in a near-dup corpus a small fraction of the table — while the
+    # untouched majority bypasses every round and is unioned back as
+    # its own canonical cluster at the end. At 10^12 docs this is the
+    # difference between shuffling the corpus per round and shuffling
+    # just the duplicate subgraph. (edges is symmetrized, so ``src``
+    # alone covers every edge-touched vertex.)
+    touched = edges.select("src").distinct()
+    labels = touched.select(
+        F.col("src").alias("id"), F.col("src").alias("lbl")
     ).localCheckpoint(eager=True)
 
     for _ in range(max_rounds):
@@ -76,23 +85,34 @@ def min_label_clusters(
             .select(
                 F.col("id"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                F.col("lbl").alias("old"),
             )
         )
         # 2) pointer jump: lbl := min(lbl, lbl[lbl]) — path compression
-        #    that collapses label chains logarithmically
+        #    that collapses label chains logarithmically. Exactly ONE
+        #    jump per materialized round: extra jumps against the same
+        #    un-materialized mapping only compound linearly (s∘s is a
+        #    2-hop, not a squared map — squaring needs the jumped
+        #    result as the next mapping, i.e. a materialization per
+        #    hop), so more in-plan hops buy +1 step each for a full
+        #    extra join — the same trade as another round, minus the
+        #    round's neighbor-min. The round's convergence flag is
+        #    computed INSIDE the same plan (new < round-start label),
+        #    so each round is exactly one materializing job; the
+        #    convergence probe then just filters the checkpointed rows
+        #    instead of re-joining two snapshots.
         x, y = stepped.alias("x"), stepped.alias("y")
+        new_lbl = F.least(
+            F.col("x.lbl"), F.coalesce(F.col("y.lbl"), F.col("x.lbl"))
+        )
         jumped = x.join(y, F.col("x.lbl") == F.col("y.id"), "left").select(
             F.col("x.id").alias("id"),
-            F.least(
-                F.col("x.lbl"), F.coalesce(F.col("y.lbl"), F.col("x.lbl"))
-            ).alias("lbl"),
+            new_lbl.alias("lbl"),
+            (new_lbl < F.col("x.old")).alias("changed"),
         ).localCheckpoint(eager=True)
 
-        old = labels.select(F.col("id"), F.col("lbl").alias("old"))
-        converged = (
-            jumped.join(old, "id").filter(F.col("lbl") < F.col("old")).isEmpty()
-        )
-        labels = jumped
+        converged = jumped.filter(F.col("changed")).isEmpty()
+        labels = jumped.select("id", "lbl")
         if converged:
             break
     else:
@@ -100,7 +120,12 @@ def min_label_clusters(
             f"min_label_clusters: no fixed point within {max_rounds} rounds"
         )
 
-    return labels.select(
+    singletons = vertices.join(
+        labels.select("id"),
+        vertices[id_col] == F.col("id"),
+        "left_anti",
+    ).select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    return labels.unionByName(singletons).select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).cast("int").alias("is_canonical"),
