@@ -162,22 +162,163 @@ def write_version_hint(location: str, version: int) -> None:
     os.replace(tmp, version_hint_path(location))
 
 
-def try_write_metadata(location: str, meta: TableMetadata) -> bool:
-    """Atomic commit attempt: O_EXCL create of v<N>.metadata.json.
+# --------------------------------------------------------------- commits
+#
+# Commit atomicity is PLUGGABLE: every writer funnels through
+# try_write_metadata() and every reader through read_current_metadata(),
+# both of which delegate to the active CommitBackend. The default gets
+# its atomicity from POSIX O_EXCL create (local/NFS/FUSE); the
+# CasCatalogBackend gets it from a catalog compare-and-swap instead —
+# candidate metadata uploaded under a UNIQUE name with a plain write
+# (the only primitive object stores guarantee), then one CAS of the
+# catalog's current-version pointer. Losers refresh and retry exactly
+# as before: Table._commit's validate/rebuild loop is backend-agnostic.
 
-    Returns False if another writer won version N (optimistic-concurrency
-    loser — caller refreshes and retries, mirroring Iceberg's retry and
-    the reference's backoff policy drivers/abstract/utils.go:11-32).
+
+class FileCommitBackend:
+    """Atomicity from POSIX ``O_EXCL`` create of v<N>.metadata.json
+    (mirroring Iceberg's HadoopTableOperations; retry policy parity:
+    drivers/abstract/utils.go:11-32)."""
+
+    name = "posix-o_excl"
+
+    def try_commit(self, location: str, meta: TableMetadata) -> bool:
+        path = metadata_path(location, meta.version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(meta.to_json())
+        write_version_hint(location, meta.version)
+        return True
+
+    def read_current(self, location: str) -> TableMetadata:
+        v = read_version_hint(location)
+        with open(metadata_path(location, v)) as f:
+            meta = TableMetadata.from_json(f.read())
+        meta.version = v
+        return meta
+
+
+class CasCatalogBackend:
+    """Atomicity from a catalog compare-and-swap — the object-store
+    deployment shape (Iceberg REST ``commitTransaction``, S3
+    conditional ``PUT If-None-Match``/``If-Match``). The engine-side
+    protocol is the production one end-to-end:
+
+    1. upload the candidate metadata under a UNIQUE name
+       (``v<N>.<uuid>.metadata.json``) with a plain write — no
+       create-or-fail needed, so any store can do it;
+    2. one CAS on the catalog's per-table pointer
+       ``expected version N-1 → (N, candidate file)``;
+    3. a loser deletes its candidate and returns False (caller
+       refreshes, re-validates, rebuilds, retries).
+
+    The catalog itself is a JSON file guarded by an exclusive
+    ``fcntl`` lock — the sandbox stand-in for the catalog service's
+    own transactionality; swapping ``_cas``/``_get`` for REST calls
+    changes nothing above this class.
     """
-    path = metadata_path(location, meta.version)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+
+    name = "catalog-cas"
+
+    def __init__(self, catalog_path: str):
+        self.catalog_path = catalog_path
+
+    # -- the two primitives a real catalog service would provide
+    def _with_locked_state(self, fn):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self.catalog_path) or ".", exist_ok=True)
+        with open(self.catalog_path, "a+") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            f.seek(0)
+            raw = f.read()
+            state = json.loads(raw) if raw.strip() else {}
+            out = fn(state)
+            if out is not None:
+                tmp = f"{self.catalog_path}.tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as t:
+                    json.dump(state, t)
+                os.replace(tmp, self.catalog_path)
+            return out
+
+    def _cas(self, key: str, expect_version: int, new_entry: dict) -> bool:
+        def txn(state):
+            cur = state.get(key, {}).get("version", 0)
+            if cur != expect_version:
+                return None  # no write
+            state[key] = new_entry
+            return True
+
+        return bool(self._with_locked_state(txn))
+
+    def _get(self, key: str) -> dict | None:
+        import fcntl
+
+        try:
+            with open(self.catalog_path) as f:
+                fcntl.flock(f, fcntl.LOCK_SH)
+                raw = f.read()
+        except FileNotFoundError:
+            return None
+        state = json.loads(raw) if raw.strip() else {}
+        return state.get(key)
+
+    # -- the backend interface
+    def try_commit(self, location: str, meta: TableMetadata) -> bool:
+        rel = f"v{meta.version}.{uuid.uuid4().hex}.metadata.json"
+        path = os.path.join(metadata_dir(location), rel)
+        os.makedirs(metadata_dir(location), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(meta.to_json())
+        os.replace(tmp, path)  # plain upload: unique name, no O_EXCL
+        if self._cas(
+            os.path.abspath(location),
+            meta.version - 1,
+            {"version": meta.version, "file": rel},
+        ):
+            return True
+        os.remove(path)  # lost the CAS: drop the candidate
         return False
-    with os.fdopen(fd, "w") as f:
-        f.write(meta.to_json())
-    write_version_hint(location, meta.version)
-    return True
+
+    def read_current(self, location: str) -> TableMetadata:
+        entry = self._get(os.path.abspath(location))
+        if not entry:
+            raise FileNotFoundError(
+                f"no catalog entry for {location} in {self.catalog_path}"
+            )
+        with open(os.path.join(metadata_dir(location), entry["file"])) as f:
+            meta = TableMetadata.from_json(f.read())
+        meta.version = entry["version"]
+        return meta
+
+
+_BACKEND: FileCommitBackend | CasCatalogBackend = FileCommitBackend()
+
+
+def commit_backend():
+    return _BACKEND
+
+
+def set_commit_backend(backend) -> None:
+    """Swap the commit backend (None restores the POSIX default)."""
+    global _BACKEND
+    _BACKEND = backend if backend is not None else FileCommitBackend()
+
+
+def try_write_metadata(location: str, meta: TableMetadata) -> bool:
+    """Atomic commit attempt via the active backend. Returns False if
+    another writer won version N (optimistic-concurrency loser — the
+    caller refreshes and retries)."""
+    return _BACKEND.try_commit(location, meta)
+
+
+def read_current_metadata(location: str) -> TableMetadata:
+    """Resolve the current table metadata via the active backend."""
+    return _BACKEND.read_current(location)
 
 
 def write_manifest(location: str, entries: list[DataFileEntry]) -> str:

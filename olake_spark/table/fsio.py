@@ -9,12 +9,10 @@ touches bytes OUTSIDE Spark — the compaction row-group copy
 survive non-POSIX object storage unchanged (pyarrow ships S3/GCS/HDFS
 implementations behind the same interface).
 
-Deliberately NOT abstracted: the commit protocol
-(table/format.try_write_metadata) relies on POSIX ``O_EXCL`` create
-for its atomic versioned metadata write. Object stores have no
-atomic-create-or-fail primitive, so a 100 TB deployment swaps that one
-function for a catalog-mediated commit (conditional PUT / catalog CAS)
-— see README "Deployment surfaces".
+The commit protocol is abstracted separately: commit atomicity is a
+pluggable backend (table/format.FileCommitBackend — POSIX ``O_EXCL``
+default — vs CasCatalogBackend, the catalog-CAS shape object stores
+need) — see README "Deployment surfaces".
 """
 
 from __future__ import annotations

@@ -104,10 +104,7 @@ class Table:
     @staticmethod
     def load(spark: SparkSession, location: str) -> "Table":
         location = os.path.abspath(location)
-        v = fmt.read_version_hint(location)
-        with open(fmt.metadata_path(location, v)) as f:
-            meta = TableMetadata.from_json(f.read())
-        meta.version = v
+        meta = fmt.read_current_metadata(location)
         meta.location = location  # actual path wins if the dir moved
         return Table(spark, meta)
 
