@@ -456,3 +456,27 @@ class TestRollback:
         )
         with pytest.raises(ValueError, match="not in table history"):
             t.rollback_to(999)
+
+    def test_expire_after_rollback_keeps_shared_manifests(self, spark, tmp_table_dir):
+        """The rollback snapshot SHARES the target's manifests; expiring
+        the rolled-past history must not free files the rollback still
+        references (retained-refcount correctness under aliasing)."""
+        t = Table.create(
+            spark, tmp_table_dir, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+        )
+        df1 = generate_clips(spark, 20).withColumn("_olake_id", F.md5("clip_id"))
+        s1 = t.commit_append(t.write_datafiles(df1, range_partition_cols=["_olake_id"], num_groups=1))
+        h1 = _content_hash(t.scan())
+        df2 = generate_clips(spark, 10).withColumn(
+            "clip_id", F.concat(F.lit("bad_"), F.col("clip_id"))
+        ).withColumn("_olake_id", F.md5("clip_id"))
+        t.commit_append(t.write_datafiles(df2, range_partition_cols=["_olake_id"], num_groups=1))
+        t.rollback_to(s1.snapshot_id)
+        res = expire_snapshots(t, keep_last=1)
+        assert res["expired"] == 2  # both pre-rollback snapshots aged out
+        t2 = Table.load(spark, t.location)
+        assert t2.scan().count() == 20
+        assert _content_hash(t2.scan()) == h1
+        for e in t2.entries():
+            assert os.path.exists(t2.abs_entry_path(e))
