@@ -240,7 +240,15 @@ def run_maintenance(spark, n_clips: int, workdir: str, state_hook=None) -> dict:
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    from olake_spark.entry_queries import QUERIES
+    from olake_spark.entry_queries import QUERIES, _build_mor_history
+
+    # The time-travel/changelog entries share one memoized MoR-history
+    # fixture (a tmpdir table seeded from `orders`). Build it OUTSIDE
+    # the per-query timers: those entries measure the snapshot-pinned /
+    # incremental READ, not the harness's one-time table build — table
+    # write/merge throughput is measured by the maintenance pipeline
+    # below, where it is the subject.
+    _build_mor_history(spark, sf_dir, "olake_bench_mor_")
 
     out: dict[str, float] = {}
     for name, fn in QUERIES.items():
