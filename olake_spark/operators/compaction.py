@@ -43,9 +43,12 @@ def _remove_uncommitted(table: Table, entries: list[DataFileEntry]) -> None:
     only strands storage until an out-of-band orphan sweep."""
     from olake_spark.table.fsio import fs_for
 
+    from olake_spark.table import bloom as bloom_mod
+
     for e in entries:
         try:
             fs, p = fs_for(table.abs_entry_path(e))
+            bloom_mod.delete_sidecar(p, fs=fs)
             fs.delete_file(p)
         except OSError:
             pass
@@ -155,6 +158,8 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
     location = table.location
     stats_cols = table.stats_cols
     rg_bytes = COPY_ROW_GROUP_BYTES
+    bloom_col = table.bloom_col
+    bloom_fpp = table.bloom_fpp
 
     def copy_bin(items):
         import pyarrow as pa
@@ -213,8 +218,28 @@ def _copy_bins(table: Table, bins: list[Bin], entry_by_path: dict[str, DataFileE
                 pf.close()
             flush()
             writer.close()
+            # key-bloom sidecar for the compacted file, still without
+            # decoding the key column: fold+OR the inputs' sidecars
+            # (table/bloom.py — power-of-two widths make the fold a
+            # pure OR, so no false negatives can be introduced). Only
+            # when an input sidecar is missing/invalid or the merged
+            # bloom would be uselessly dense does file_entry rebuild it
+            # from the output file's key column.
+            harvest_bloom_col = None
+            if bloom_col is not None:
+                from olake_spark.table import bloom as B
+
+                payloads = [B.read_sidecar(_fs_for(p)[1], fs=fs) for p in inputs]
+                merged = None
+                if all(pl is not None for pl in payloads):
+                    merged = B.or_merge(payloads)  # type: ignore[arg-type]
+                if merged is not None:
+                    B.write_sidecar(_fs_for(out_abs)[1], merged, fs=fs)
+                else:
+                    harvest_bloom_col = bloom_col
             e = file_entry(
-                out_abs, os.path.relpath(out_abs, location), partition, stats_cols
+                out_abs, os.path.relpath(out_abs, location), partition, stats_cols,
+                harvest_bloom_col, bloom_fpp,
             )
             yield (
                 "ok",

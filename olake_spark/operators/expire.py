@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import time
 
+from olake_spark.table import bloom as bloom_mod
 from olake_spark.table import format as fmt
 from olake_spark.table.table import Table
 
@@ -80,6 +81,11 @@ def expire_snapshots(
             p = os.path.join(table.location, rel)
             if os.path.exists(p):
                 os.remove(p)
+            # a dead data file takes its advisory key-bloom sidecar
+            # (table/bloom.py) with it; no-op for manifests
+            sidecar = p + bloom_mod.SIDECAR_SUFFIX
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
     return {
         "expired": len(expired),
         "retained": len(retained),

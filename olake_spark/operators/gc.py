@@ -124,12 +124,14 @@ def companion_join_key() -> "F.Column":
 
     Hadoop write-protocol companions are live by derivation, not by
     manifest entry: a ``.X.crc`` checksum sidecar is live iff ``X`` is
-    live (same dir, by construction), and a ``_SUCCESS``-style marker
-    is live iff its COMMIT DIR (``data/<uuid>`` — the Spark job's
-    output root; fanout writes put the data files one ``col=val``
-    level deeper, so dirname equality would miss) still holds any
-    live file. One derived key covers all three shapes, so the sweep
-    stays a single anti-join.
+    live (same dir, by construction), a ``X.bloom`` key-bloom sidecar
+    (table/bloom.py — advisory, never in the manifest) is live iff its
+    data file ``X`` is live, and a ``_SUCCESS``-style marker is live
+    iff its COMMIT DIR (``data/<uuid>`` — the Spark job's output root;
+    fanout writes put the data files one ``col=val`` level deeper, so
+    dirname equality would miss) still holds any live file. One derived
+    key covers all four shapes, so the sweep stays a single anti-join.
+    The strips COMPOSE: ``.X.bloom.crc`` → ``X.bloom`` → ``X``.
     """
     base_c = F.substring_index("rel_path", "/", -1)
     dirp = F.expr(
@@ -142,9 +144,11 @@ def companion_join_key() -> "F.Column":
         "substring(substring_index(rel_path, '/', -1), 2,"
         " length(substring_index(rel_path, '/', -1)) - 5)"
     )).otherwise(base_c)
+    is_bloom = stripped.rlike(r"\.bloom$")
+    stripped = F.regexp_replace(stripped, r"\.bloom$", "")
     return (
         F.when(stripped.startswith("_"), F.concat(F.lit("DIR:"), commit_dir))
-        .when(is_crc, F.concat(dirp, F.lit("/"), stripped))
+        .when(is_crc | is_bloom, F.concat(dirp, F.lit("/"), stripped))
         .otherwise(F.col("rel_path"))
     )
 

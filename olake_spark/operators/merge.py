@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from olake_spark.plans.lineage import LineageManifest
+from olake_spark.table import bloom as bloom_mod
 from olake_spark.table.table import CommitConflict, Table
 
 # op priority for tie-breaks: INSERT < READ < UPDATE < DELETE
@@ -200,7 +201,51 @@ def affected_file_paths(table: Table, source_keys: DataFrame, key: str) -> list[
             .distinct()
         )
         affected.update(r["path"] for r in hit.unionAll(bad).collect())
-    return sorted(affected)
+    return _bloom_refine(table, source_keys, key, sorted(affected))
+
+
+def _bloom_refine(
+    table: Table, source_keys: DataFrame, key: str, affected: list[str]
+) -> list[str]:
+    """Second pruning layer: per-file key-bloom sidecars (table/bloom.py).
+
+    Bounds pruning is blind exactly where OLake tables need pruning
+    most: ``_olake_id`` is a uniform md5 hex (utils/utils.go:252-273),
+    so every append file spans ~[00.., ff..] and a single-key CDC batch
+    marks the WHOLE table affected. When the table opted into sidecars
+    (``write.bloom.column`` == the merge key), probe each
+    bounds-affected file's bloom with the batch's distinct-key digests
+    and drop files that provably contain none. False positives cost one
+    redundant file rewrite; false negatives cannot occur (build and
+    probe share bloom.key_bytes + bloom.digests).
+
+    The distinct keys are collected here — the ONE deliberate
+    data-derived collect in the merge path — bounded by
+    ``bloom.PROBE_KEY_CAP`` via limit(cap+1): a batch with more
+    distinct keys than the cap skips the probe (it touches most files
+    anyway) rather than ever pulling an unbounded set to the driver.
+    """
+    if not affected or table.bloom_col != key:
+        return affected
+    cap = bloom_mod.PROBE_KEY_CAP
+    rows = (
+        source_keys.select(F.col(key).alias("__k"))
+        .where(F.col(key).isNotNull())
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return affected
+    encoded = bloom_mod.key_bytes([r["__k"] for r in rows])
+    if not encoded:
+        return affected
+    h1, h2 = bloom_mod.digests(encoded)
+    abs_by_rel = {rel: os.path.normpath(os.path.join(table.location, rel)) for rel in affected}
+    kept_abs = set(
+        bloom_mod.probe_files(table.spark, list(abs_by_rel.values()), key, h1, h2)
+    )
+    return [rel for rel in affected if abs_by_rel[rel] in kept_abs]
 
 
 def _uniform_hex_key(table: Table, key: str) -> bool:

@@ -23,6 +23,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow.parquet as papq
 
+from olake_spark.table import bloom as bloom_mod
 from olake_spark.table.format import DataFileEntry
 from olake_spark.table.fsio import file_size, fs_for
 
@@ -50,10 +51,19 @@ def file_entry(
     rel_path: str,
     partition: str,
     stats_cols: list[str],
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
 ) -> DataFileEntry:
     """Footer read routed through pyarrow.fs (table/fsio.py) so the
     harvest works against any ``FileSystem.from_uri`` storage, not just
-    POSIX paths; LocalFileSystem is the plain-path default."""
+    POSIX paths; LocalFileSystem is the plain-path default.
+
+    ``bloom_col``: also build the file's key-bloom sidecar
+    (table/bloom.py). This is the ONE place the harvest reads column
+    DATA (that single column, decoded once) rather than footer bytes —
+    cost proportional to data just written, on the same distributed
+    path as the footer reads above DISTRIBUTED_THRESHOLD.
+    """
     fs, fs_path = fs_for(abs_path)
     pf = papq.ParquetFile(fs_path, filesystem=fs)
     md = pf.metadata
@@ -76,6 +86,13 @@ def file_entry(
         if cmin is not None:
             lo[col] = cmin
             hi[col] = cmax
+    if bloom_col is not None and bloom_col in schema_names:
+        ftype = pf.schema_arrow.field(bloom_col).type
+        if bloom_mod.buildable(ftype):
+            values = pf.read(columns=[bloom_col]).column(0).to_pylist()
+            payload = bloom_mod.build(bloom_col, values, bloom_fpp)
+            if payload is not None:
+                bloom_mod.write_sidecar(fs_path, payload, fs=fs)
     return DataFileEntry(
         path=rel_path,
         partition=partition,
@@ -91,11 +108,13 @@ def harvest(
     files: list[tuple[str, str]],  # (abs_path, partition)
     stats_cols: list[str],
     max_workers: int = 16,
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
 ) -> list[DataFileEntry]:
     def one(item):
         abs_path, partition = item
         rel = os.path.relpath(abs_path, location)
-        return file_entry(abs_path, rel, partition, stats_cols)
+        return file_entry(abs_path, rel, partition, stats_cols, bloom_col, bloom_fpp)
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(ex.map(one, files))
@@ -107,6 +126,8 @@ def harvest_distributed(
     files: list[tuple[str, str]],  # (abs_path, partition)
     stats_cols: list[str],
     slices: int | None = None,
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
 ) -> list[DataFileEntry]:
     """Footer harvest as a Spark job: ship (path, partition) pairs to
     executors, read footers there, return manifest entries. Entries are
@@ -127,7 +148,7 @@ def harvest_distributed(
         out = []
         for abs_path, partition in items:
             rel = os.path.relpath(abs_path, location)
-            e = file_entry(abs_path, rel, partition, stats_cols)
+            e = file_entry(abs_path, rel, partition, stats_cols, bloom_col, bloom_fpp)
             out.append(
                 (
                     e.path,

@@ -34,6 +34,12 @@ from olake_spark.table.format import DataFileEntry, Snapshot, TableMetadata
 TARGET_FILE_SIZE_PROP = "write.target-file-size-bytes"
 STATS_COLS_PROP = "stats.columns"
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
+#: opt-in per-file key-bloom sidecars (table/bloom.py): set to the key
+#: column name (usually ``_olake_id``) to have every data-file write
+#: also emit a ``<file>.parquet.bloom`` sidecar MERGE pruning can probe
+BLOOM_COL_PROP = "write.bloom.column"
+BLOOM_FPP_PROP = "write.bloom.fpp"
+DEFAULT_BLOOM_FPP = 0.01
 
 COMMIT_RETRIES = 3
 COMMIT_BACKOFF_S = 0.2
@@ -132,6 +138,14 @@ class Table:
         if raw:
             return json.loads(raw) if raw.startswith("[") else raw.split(",")
         return stats_mod.DEFAULT_STATS_COLS
+
+    @property
+    def bloom_col(self) -> str | None:
+        return self.meta.properties.get(BLOOM_COL_PROP) or None
+
+    @property
+    def bloom_fpp(self) -> float:
+        return float(self.meta.properties.get(BLOOM_FPP_PROP, DEFAULT_BLOOM_FPP))
 
     def entries(self, snapshot_id: int | None = None) -> list[DataFileEntry]:
         snap = self.meta.snapshot(snapshot_id)
@@ -526,14 +540,23 @@ class Table:
             # the clustering curve key, so incremental reclustering can
             # tell sorted files from newcomers by manifest bounds)
             stats_cols = stats_cols + [c for c in extra_stats_cols if c not in stats_cols]
+        # key-bloom sidecars ride the harvest (the one pass that already
+        # opens every new file); delete-file commits skip them — delete
+        # files are never MERGE rewrite targets, so a sidecar would be
+        # dead weight
+        bloom_col = self.bloom_col if content == fmt.CONTENT_DATA else None
         if len(files) > stats_mod.DISTRIBUTED_THRESHOLD:
             # fleet-scale commits: harvest footers as a Spark job so the
             # driver never serializes per-file metadata IO
             entries = stats_mod.harvest_distributed(
-                self.spark, self.location, files, stats_cols
+                self.spark, self.location, files, stats_cols,
+                bloom_col=bloom_col, bloom_fpp=self.bloom_fpp,
             )
         else:
-            entries = stats_mod.harvest(self.location, files, stats_cols)
+            entries = stats_mod.harvest(
+                self.location, files, stats_cols,
+                bloom_col=bloom_col, bloom_fpp=self.bloom_fpp,
+            )
         if content != fmt.CONTENT_DATA:
             for e in entries:
                 e.content = content
