@@ -572,6 +572,99 @@ def merge_mor(spark, sf_dir):
     )
 
 
+_MERGE_BLOOM_SQL = """
+    WITH source AS (
+        SELECT o_orderkey AS key,
+               CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)), 2)
+                    AS DECIMAL(12,2)) AS new_price,
+               'u' AS op
+        FROM orders WHERE o_orderkey <= 70 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'd'
+        FROM orders WHERE o_orderkey <= 110 AND o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(t.o_orderkey, s.key) AS key,
+           CAST(CASE WHEN s.op = 'u' THEN s.new_price
+                ELSE CAST(t.o_totalprice AS DECIMAL(12,2)) END AS DOUBLE) AS final_price,
+           coalesce(s.op, 'r') AS op
+    FROM orders t FULL OUTER JOIN source s ON t.o_orderkey = s.key
+    WHERE s.op IS NULL OR s.op <> 'd'
+"""
+
+
+@_register("merge_bloom", _MERGE_BLOOM_SQL)
+def merge_bloom(spark, sf_dir):
+    """J1 under bloom-sidecar pruning (table/bloom.py): a CoW MERGE on
+    a BOUNDS-BLIND layout — base files written hash-distributed so
+    every file spans ~the whole key range and manifest min/max bounds
+    prune nothing — with ``write.bloom.column`` set, so the affected
+    set comes from per-file bloom probes instead. The CDC batch is
+    deliberately tiny (keys ≤ 110 — the shape bounds pruning cannot
+    handle but blooms can) and the oracle is the plain SQL merge:
+    pruning must be RESULT-INVISIBLE, the driver hash proves it.
+    Decimal/double discipline copied from merge_upsert (see its
+    docstring for why)."""
+    import tempfile
+
+    from olake_spark.operators.merge import merge_into as cow_merge
+    from olake_spark.table.table import Table
+
+    loc = tempfile.mkdtemp(prefix="olake_bloomq_")
+    schema = (
+        "key bigint, final_price decimal(12,2), _op_type string, "
+        "_cdc_timestamp timestamp, _olake_timestamp timestamp"
+    )
+    t = Table.create(
+        spark,
+        f"{loc}/tbl",
+        "orders_bloom",
+        schema,
+        identifier_fields=["key"],
+        properties={"stats.columns": '["key"]', "write.bloom.column": "key"},
+    )
+    o = _t(spark, sf_dir, "orders")
+    ts0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    ts1 = F.lit("2026-01-02 00:00:00").cast("timestamp")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("final_price"),
+        F.lit("r").alias("_op_type"),
+        ts0.alias("_cdc_timestamp"),
+        ts0.alias("_olake_timestamp"),
+    )
+    # hash-distributed, NOT range-partitioned: every file spans ~the
+    # full key range, the worst case for min/max bounds pruning
+    t.commit_append(t.write_datafiles(base.repartition(6)))
+
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    upd = o.filter((F.col("o_orderkey") <= 70) & (F.col("o_orderkey") % 7 == 0)).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.round(price_dec * F.lit("1.1").cast("decimal(3,2)"), 2)
+        .cast("decimal(12,2)")
+        .alias("final_price"),
+        F.lit("u").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    dels = o.filter(
+        (F.col("o_orderkey") <= 110)
+        & (F.col("o_orderkey") % 11 == 0)
+        & (F.col("o_orderkey") % 7 != 0)
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        F.lit(None).cast("decimal(12,2)").alias("final_price"),
+        F.lit("d").alias("_op_type"),
+        ts1.alias("_cdc_timestamp"),
+        ts1.alias("_olake_timestamp"),
+    )
+    cow_merge(t, upd.unionAll(dels), key="key")
+    return t.scan().select(
+        "key",
+        F.col("final_price").cast("double").alias("final_price"),
+        F.col("_op_type").alias("op"),
+    )
+
+
 @_register(
     "set_except",
     """
@@ -2508,6 +2601,10 @@ ROTATED_OUT = [
     "windowed_agg",  # r1-r4 green
     "bucket_transform",  # r1-r4 green; murmur3 also pytest spec-vector gated
     "geo_wkt",  # r1-r4 green; WKB reader also pytest spec-vector gated
+    "metadata_attach",  # r1-r4 green; the metadata columns are load-bearing
+    # inside every in-window merge entry (merge_upsert/merge_mor/
+    # merge_bloom dedup on them); demoted to make window room for the
+    # NEW merge_bloom, which has no driver stamp yet
 ]
 
 

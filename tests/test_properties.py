@@ -381,3 +381,62 @@ def test_hive_partition_roundtrip(vals):
     append_batch(t, df, partition_regex=pat)
     got = {e.partition for e in t.entries()}
     assert got == expected
+
+
+# ---- key-bloom sidecars (table/bloom.py): no-false-negative algebra
+
+_BLOOM_KEYS = st.lists(
+    st.one_of(
+        st.text(min_size=0, max_size=40),
+        st.binary(min_size=0, max_size=40),
+        st.integers(-(2**62), 2**62),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(_BLOOM_KEYS, st.sampled_from([0.1, 0.01, 0.001]))
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(keys, fpp):
+    from olake_spark.table import bloom as B
+
+    payload = B.build("k", keys, fpp)
+    header, bits = B.deserialize(payload)
+    h1, h2 = B.digests(B.key_bytes(keys))
+    # batch probe and every single-key probe must hit
+    assert B.might_contain_any(header, bits, h1, h2)
+    for i in range(len(keys)):
+        assert B.might_contain_any(header, bits, h1[i : i + 1], h2[i : i + 1])
+
+
+@given(_BLOOM_KEYS)
+@settings(max_examples=40, deadline=None)
+def test_bloom_fold_preserves_membership(keys):
+    from olake_spark.table import bloom as B
+
+    header, bits = B.deserialize(B.build("k", keys, 0.01))
+    h1, h2 = B.digests(B.key_bytes(keys))
+    m = header["m"]
+    while m > 64:
+        m //= 2
+        folded = B.fold(bits, header["m"], m)
+        small = dict(header, m=m)
+        for i in range(len(keys)):
+            assert B.might_contain_any(small, folded, h1[i : i + 1], h2[i : i + 1])
+
+
+@given(_BLOOM_KEYS, st.integers(1, 299))
+@settings(max_examples=40, deadline=None)
+def test_bloom_or_merge_covers_union_or_refuses(keys, cut_raw):
+    from olake_spark.table import bloom as B
+
+    cut = min(cut_raw, max(1, len(keys) - 1))
+    left, right = keys[:cut], keys[cut:] or ["pad"]
+    merged = B.or_merge([B.build("k", left, 0.01), B.build("k", right, 0.01)])
+    if merged is None:  # density refusal is the documented fallback
+        return
+    header, bits = B.deserialize(merged)
+    h1, h2 = B.digests(B.key_bytes(left + right))
+    for i in range(h1.size):
+        assert B.might_contain_any(header, bits, h1[i : i + 1], h2[i : i + 1])
