@@ -53,7 +53,7 @@ JOB_SPEC = {
                             "fold_deletes", "compact", "cluster",
                             "cluster_incremental", "resample",
                             "rewrite_manifests", "expire", "gc_orphans",
-                            "rollback", "auto",
+                            "rollback", "build_blooms", "auto",
                         ]
                     },
                     "filter": {
@@ -126,7 +126,7 @@ def cmd_check(cfg: dict) -> dict:
             "append", "cdc_merge", "merge", "merge_mor", "fold_deletes",
             "compact", "cluster", "cluster_incremental",
             "resample", "rewrite_manifests", "expire", "gc_orphans",
-            "rollback", "auto",
+            "rollback", "build_blooms", "auto",
         ):
             errors.append(f"unknown op {s.get('op')!r}")
         if s.get("op") in ("append", "cdc_merge", "merge", "merge_mor") and not s.get(
@@ -349,6 +349,10 @@ def cmd_sync(cfg: dict) -> dict:
         if op == "rollback":
             snap = t.rollback_to(int(s["snapshot_id"]))
             return {"snapshot_id": snap.snapshot_id, "rolled_back_to": int(s["snapshot_id"])}
+        if op == "build_blooms":
+            from olake_spark.operators.bloom_backfill import build_blooms
+
+            return build_blooms(t, fpp=s.get("fpp"))
         raise ValueError(f"unknown op {op!r}")
 
     from olake_spark.plans.ticker import StatsTicker

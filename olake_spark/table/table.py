@@ -745,6 +745,35 @@ class Table:
             self.refresh()
         raise CommitConflict("schema update lost all retries")
 
+    def update_properties(self, props: dict) -> None:
+        """Metadata-only property commit (no new snapshot): merge
+        ``props`` over the current table properties — a ``None`` value
+        removes the key. Optimistic like every commit: a loser
+        refreshes and re-merges over the winner's properties, so two
+        concurrent single-key updates both land (no lost update)."""
+        for attempt in range(COMMIT_RETRIES + 1):
+            merged = {**self.meta.properties, **props}
+            merged = {k: v for k, v in merged.items() if v is not None}
+            new_meta = TableMetadata(
+                table_uuid=self.meta.table_uuid,
+                name=self.meta.name,
+                location=self.meta.location,
+                schema_json=self.meta.schema_json,
+                identifier_fields=self.meta.identifier_fields,
+                partition_spec=self.meta.partition_spec,
+                properties=merged,
+                current_snapshot_id=self.meta.current_snapshot_id,
+                snapshots=self.meta.snapshots,
+                last_sequence_number=self.meta.last_sequence_number,
+                version=self.meta.version + 1,
+            )
+            if fmt.try_write_metadata(self.location, new_meta):
+                self.meta = new_meta
+                return
+            time.sleep(COMMIT_BACKOFF_S * (2**attempt))
+            self.refresh()
+        raise CommitConflict("property update lost all retries")
+
     def commit_rewrite_manifests(self, new_manifests: list[str], summary: dict | None = None) -> Snapshot:
         """Metadata-only snapshot: same data files, new manifest layout."""
 

@@ -237,3 +237,76 @@ class TestDistributedProbeParity:
         monkeypatch.setattr(B, "DISTRIBUTED_PROBE_THRESHOLD", 0)
         distributed = affected_file_paths(t, batch, "_olake_id")
         assert threaded == distributed
+
+
+class TestBloomBackfill:
+    """build_blooms: retrofitting sidecars onto pre-opt-in files (the
+    rewrite-statistics maintenance analog, operators/bloom_backfill)."""
+
+    @pytest.fixture()
+    def late_optin_table(self, spark, tmp_table_dir):
+        t = Table.create(
+            spark, tmp_table_dir, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+        )
+        t.commit_append(t.write_datafiles(generate_clips(spark, BASE_N, partitions=4)))
+        # opt in AFTER the base load: existing files have no sidecars
+        t.update_properties({"write.bloom.column": "_olake_id"})
+        return t
+
+    def test_requires_property(self, spark, tmp_table_dir):
+        from olake_spark.operators.bloom_backfill import build_blooms
+
+        t = Table.create(
+            spark, tmp_table_dir, "audio_clips", FULL_SCHEMA,
+            identifier_fields=["_olake_id"],
+        )
+        with pytest.raises(ValueError, match="write.bloom.column"):
+            build_blooms(t)
+
+    def test_backfill_builds_then_skips(self, spark, late_optin_table):
+        from olake_spark.operators.bloom_backfill import build_blooms
+
+        t = late_optin_table
+        n_files = len(t.data_entries())
+        assert not any(
+            os.path.exists(t.abs_entry_path(e) + B.SIDECAR_SUFFIX)
+            for e in t.data_entries()
+        )
+        res = build_blooms(t)
+        assert res == {
+            "files": n_files, "built": n_files, "skipped": 0,
+            "unsupported": 0, "missing": 0,
+        }
+        # idempotent re-run: resumability is "skip what exists"
+        res2 = build_blooms(t)
+        assert res2["built"] == 0 and res2["skipped"] == n_files
+
+    def test_pruning_works_after_backfill(self, spark, late_optin_table):
+        from olake_spark.operators.bloom_backfill import build_blooms
+
+        t = late_optin_table
+        build_blooms(t)
+        batch = cdc_batch(spark, BASE_N, batch_no=1, updates=1)
+        affected = affected_file_paths(t, batch, "_olake_id")
+        assert len(affected) < len(t.data_entries())
+
+    def test_unbloomable_column_counted(self, spark, late_optin_table):
+        from olake_spark.operators.bloom_backfill import build_blooms
+
+        t = late_optin_table
+        t.update_properties({"write.bloom.column": "_cdc_timestamp"})
+        res = build_blooms(t)
+        assert res["unsupported"] == res["files"] and res["built"] == 0
+
+    def test_update_properties_merge_and_remove(self, spark, late_optin_table):
+        t = late_optin_table
+        v0 = t.meta.version
+        t.update_properties({"write.bloom.fpp": "0.05"})
+        assert t.bloom_fpp == 0.05 and t.bloom_col == "_olake_id"
+        t.update_properties({"write.bloom.column": None})
+        assert t.bloom_col is None
+        assert t.meta.version == v0 + 2
+        # reload from disk sees the committed properties
+        t2 = Table.load(spark, t.location)
+        assert t2.bloom_col is None and t2.bloom_fpp == 0.05

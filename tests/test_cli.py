@@ -37,7 +37,7 @@ def test_spec_lists_all_ops():
         "append", "cdc_merge", "merge", "merge_mor", "fold_deletes",
         "compact", "cluster", "cluster_incremental",
         "resample", "rewrite_manifests", "expire", "gc_orphans",
-        "rollback", "auto",
+        "rollback", "build_blooms", "auto",
     }
 
 
@@ -545,6 +545,22 @@ def test_sync_mongo_change_stream_end_to_end(spark, tmp_path):
     bad = {"table": t.location, "stages": [{"op": "compact", "fmt": "mongo_jsonl"}]}
     r = cli.cmd_check(bad)
     assert r["status"] == "FAILED" and any("fmt" in e for e in r["errors"])
+
+
+def test_sync_build_blooms_stage(spark, tmp_path):
+    from olake_spark.table import bloom as bloom_mod
+
+    t = _mk(spark, tmp_path)
+    t.update_properties({"write.bloom.column": "_olake_id"})
+    out = cli.cmd_sync(
+        {"table": t.location, "stages": [{"op": "build_blooms"}]}
+    )
+    res = out["stages"][0]
+    n_files = len(t.data_entries())
+    assert res["built"] == n_files and res["skipped"] == 0
+    t2 = Table.load(spark, t.location)
+    for e in t2.data_entries():
+        assert os.path.exists(t2.abs_entry_path(e) + bloom_mod.SIDECAR_SUFFIX)
 
 
 def test_sync_gc_and_rollback_stages(spark, tmp_path):
