@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 #: backstop for pathological inputs; with pointer jumping real corpora
 #: converge in ~log2(max component size) rounds
 MAX_ROUNDS = 50
+#: broadcast the duplicate-subgraph id set into the singleton anti-join
+#: below this many vertices (~10M bigints ≈ 150 MB serialized — inside
+#: executor memory at any sane config); above it the corpus-wide
+#: shuffle is unavoidable and sort-merge is correct
+BROADCAST_SUBGRAPH_IDS = 10_000_000
 
 
 def min_label_clusters(
@@ -120,8 +125,19 @@ def min_label_clusters(
             f"min_label_clusters: no fixed point within {max_rounds} rounds"
         )
 
+    # The anti-join's right side is the duplicate-subgraph id set —
+    # small in a real near-dup corpus but UNSIZED by Catalyst (the
+    # checkpoint scan has no stats), which defaults the plan to a
+    # sort-merge join that shuffles the ENTIRE corpus just to add the
+    # singleton rows. Broadcast it when its (cheap, checkpointed)
+    # count fits; past the cap — a corpus where duplicates are the
+    # majority — the corpus-wide shuffle is genuinely required and SMJ
+    # is the right plan.
+    sub_ids = labels.select("id")
+    if labels.count() <= BROADCAST_SUBGRAPH_IDS:
+        sub_ids = F.broadcast(sub_ids)
     singletons = vertices.join(
-        labels.select("id"),
+        sub_ids,
         vertices[id_col] == F.col("id"),
         "left_anti",
     ).select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))

@@ -156,6 +156,9 @@ AUDITS = {
         # prior round's join tree — without the per-round cut the plan
         # doubles each iteration
         ("labels read from truncated lineage", "Scan ExistingRDD"),
+        # the singleton anti-join ships the (small) duplicate-subgraph
+        # id set to executors instead of shuffling the whole corpus
+        ("singleton anti-join broadcasts the subgraph ids", "BroadcastHashJoin LeftAnti"),
         ("no join re-derivation in the final plan", "!SortMergeJoin"),
         ("no cartesian product anywhere", "!CartesianProduct"),
         ("no row-at-a-time Python UDF", "!BatchEvalPython"),
